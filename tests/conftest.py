@@ -1,9 +1,13 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding
 tests run anywhere (the TPU-native analog of testing multi-node without a
-cluster — see SURVEY.md §4)."""
+cluster — see SURVEY.md §4).
+
+Note: this environment's axon sitecustomize programmatically sets
+``jax_platforms="axon,cpu"`` in every interpreter, overriding the
+JAX_PLATFORMS env var — so we must override via jax.config *after* import
+(backends are not yet initialized at conftest time, so this wins)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env is set)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}")
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}")
