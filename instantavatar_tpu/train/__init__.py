@@ -1,0 +1,3 @@
+from .model import AvatarModel, TrainState
+
+__all__ = ["AvatarModel", "TrainState"]
