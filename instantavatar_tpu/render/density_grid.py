@@ -1,0 +1,163 @@
+"""Occupancy grid (64^3) — functional TPU redesign of the reference's
+DensityGrid (/root/reference/instant_avatar/models/structures/
+density_grid.py).
+
+Semantics preserved:
+  * ``update``: jittered cell-center query (differentiable — the returned
+    normalized density feeds the occupancy regularizer), EMA
+    ``cached = max(0.8 * old, density)``, occupancy =
+    ``1 - exp(-0.01 * cached) > clamp(mean, max=0.01)``, 3^3 max-pool
+    dilation, then largest-connected-component filtering.
+  * ``initialize`` (test-time): aabb from the deformed body, max density
+    over ``iters`` jittered passes, same threshold + MCC.
+  * occupancy regularizer terms (DNeRF.py:99-110): N * mean(density over
+    unoccupied cells), + 0.5 * mean(density) during the first 500 steps.
+
+TPU mapping: max-pool -> ``lax.reduce_window``; the reference's
+mode-over-labels MCC trick -> iterated masked max-pool label propagation
+(lax.fori_loop) + ``bincount`` histogram argmax (vectorized, stays
+on-device; the reference's ``torch.mode`` is the same computation).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DensityGridState", "make_grid_state", "update_grid",
+           "initialize_grid", "occupancy_lookup", "max_pool3d",
+           "largest_component", "occupancy_regularizer"]
+
+
+class DensityGridState(NamedTuple):
+    density_cached: jax.Array  # (G, G, G) f32 EMA of raw density
+    occupancy: jax.Array       # (G, G, G) bool
+    aabb: jax.Array            # (2, 3)
+
+
+def make_grid_state(aabb: jax.Array, grid_size: int = 64) -> DensityGridState:
+    G = grid_size
+    return DensityGridState(
+        density_cached=jnp.zeros((G, G, G), jnp.float32),
+        occupancy=jnp.zeros((G, G, G), bool),
+        aabb=jnp.asarray(aabb, jnp.float32))
+
+
+def _cell_corners(G: int) -> jax.Array:
+    """(G, G, G, 3) normalized lower-corner coords (cell / G)."""
+    idx = jnp.arange(G, dtype=jnp.float32) / G
+    x, y, z = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def max_pool3d(x: jax.Array) -> jax.Array:
+    """3x3x3 stride-1 same-padded max pool over a (G, G, G) volume."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+        jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+
+
+def largest_component(occ: jax.Array) -> jax.Array:
+    """Keep only the largest 26-connected component of a boolean volume.
+
+    Label propagation: seed each occupied cell with a unique id, iterate
+    masked 3^3 max-pool until ids flood each component (3*G sweeps bounds
+    the diameter, as in the reference), then keep the id with the largest
+    cell count (bincount argmax == torch.mode of the labels).
+    """
+    G = occ.shape[0]
+    ids = (jnp.arange(occ.size, dtype=jnp.float32) + 1.0).reshape(occ.shape)
+    comp = jnp.where(occ, ids, 0.0)
+
+    def body(_, c):
+        return max_pool3d(c) * occ
+
+    comp = jax.lax.fori_loop(0, 3 * G, body, comp)
+    labels = comp.astype(jnp.int32).reshape(-1)
+    counts = jnp.bincount(labels, length=occ.size + 1).at[0].set(0)
+    biggest = jnp.argmax(counts)
+    keep = (labels == biggest).reshape(occ.shape)
+    # all-empty grids stay empty
+    return keep & occ
+
+
+def _threshold_and_filter(cached_or_density: jax.Array) -> jax.Array:
+    occ_soft = 1.0 - jnp.exp(-0.01 * cached_or_density)
+    occ_soft = max_pool3d(occ_soft)
+    occ = occ_soft > jnp.minimum(occ_soft.mean(), 0.01)
+    return largest_component(occ)
+
+
+def update_grid(state: DensityGridState,
+                density_fn: Callable[[jax.Array], jax.Array],
+                key: jax.Array,
+                ) -> tuple[DensityGridState, jax.Array, jax.Array]:
+    """One occupancy update.
+
+    Args:
+      density_fn: (M, 3) world/SMPL-space pts -> raw sigma (M,). Must be
+        differentiable — its output feeds the occupancy regularizer.
+
+    Returns:
+      (new_state, density_norm (G,G,G) differentiable, old_occupancy).
+    """
+    G = state.occupancy.shape[0]
+    jitter = jax.random.uniform(key, (G, G, G, 3)) / G
+    span = state.aabb[1] - state.aabb[0]
+    coords = (_cell_corners(G) + jitter) * span + state.aabb[0]
+    sigma = density_fn(coords.reshape(-1, 3)).reshape(G, G, G)
+    sigma = jnp.clip(sigma, 0.0)
+
+    cached = jnp.maximum(state.density_cached * 0.8,
+                         jax.lax.stop_gradient(sigma))
+    occ = _threshold_and_filter(cached)
+    density_norm = 1.0 - jnp.exp(-0.01 * jax.nn.relu(sigma))
+    return (DensityGridState(cached, occ, state.aabb),
+            density_norm, state.occupancy)
+
+
+def occupancy_regularizer(density_norm: jax.Array, occupancy: jax.Array,
+                          step: jax.Array, update_interval: int,
+                          warmup: int = 500) -> jax.Array:
+    """DNeRF.py:99-110: penalize density in unoccupied cells (scaled by the
+    update interval), plus a global mean penalty during warmup."""
+    inv = jnp.logical_not(occupancy)
+    denom = jnp.maximum(inv.sum(), 1)
+    reg = update_interval * jnp.sum(jnp.where(inv, density_norm, 0.0)) / denom
+    reg = reg + jnp.where(step < warmup, 0.5 * density_norm.mean(), 0.0)
+    return reg
+
+
+def initialize_grid(aabb: jax.Array,
+                    density_fn: Callable[[jax.Array], jax.Array],
+                    key: jax.Array, grid_size: int = 64,
+                    iters: int = 5) -> DensityGridState:
+    """Test-time grid build: max density over jittered passes + threshold
+    + MCC (density_grid.py:94-110). Not differentiable (inference only)."""
+    G = grid_size
+    span = jnp.asarray(aabb[1]) - jnp.asarray(aabb[0])
+    corners = _cell_corners(G)
+
+    def one(carry, k):
+        coords = (corners + jax.random.uniform(k, (G, G, G, 3)) / G) \
+            * span + aabb[0]
+        d = density_fn(coords.reshape(-1, 3)).reshape(G, G, G)
+        return jnp.maximum(carry, d), None
+
+    density, _ = jax.lax.scan(one, jnp.zeros((G, G, G)),
+                              jax.random.split(key, iters))
+    occ = _threshold_and_filter(density)
+    return DensityGridState(density, occ, jnp.asarray(aabb, jnp.float32))
+
+
+def occupancy_lookup(state: DensityGridState, pts: jax.Array) -> jax.Array:
+    """(M, 3) pts -> bool occupancy of the containing cell (the analog of
+    the CUDA marcher's grid test, raymarcher.cu:13-73)."""
+    G = state.occupancy.shape[0]
+    rel = (pts - state.aabb[0]) / (state.aabb[1] - state.aabb[0])
+    inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+    cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
+    flat = (cell[..., 0] * G + cell[..., 1]) * G + cell[..., 2]
+    occ = jnp.take(state.occupancy.reshape(-1), flat)
+    return occ & inside

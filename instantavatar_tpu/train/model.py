@@ -2,11 +2,17 @@
 
 The TPU-native replacement for the reference's LightningModule
 (/root/reference/instant_avatar/models/DNeRF.py): glue between body model,
-deformer, canonical field, raymarcher and losses. Instead of mutable module
-state + manual optimization, everything lives in an explicit ``TrainState``
-pytree threaded through pure jitted step functions; the "initialize-once"
-latches (net bbox init DNeRF.py:133-134, deformer init) happen at state
-construction time.
+deformer, canonical field, occupancy grid, raymarcher and losses. Instead
+of mutable module state + manual optimization, everything lives in an
+explicit ``TrainState`` pytree threaded through pure jitted step functions;
+the "initialize-once" latches (net bbox init DNeRF.py:133-134, deformer
+init) happen at state construction.
+
+Grid cadence: the reference updates the occupancy grid every N=20 steps
+inside the training step, with the (differentiable) sampled density feeding
+an occupancy regularizer (DNeRF.py:99-110). Here the host train loop picks
+between two compiled variants — ``train_step`` and ``train_step_update``
+— both fully static; no in-jit conditionals on the step counter.
 """
 from __future__ import annotations
 
@@ -19,16 +25,23 @@ import optax
 
 from ..body import SMPLModel
 from ..deformers.smpl_deformer import SMPLDeformer
-from ..losses.nerf_loss import nerf_loss, ngp_loss
-from ..models.ngp import NGPField, NGPParams, bbox_center_scale
+from ..losses.nerf_loss import nerf_loss
+from ..models.ngp import NGPField, bbox_center_scale
+from ..render.density_grid import (DensityGridState, initialize_grid,
+                                   make_grid_state, occupancy_lookup,
+                                   occupancy_regularizer, update_grid)
 from ..render.raymarcher import Rays, render_rays
 
-__all__ = ["AvatarModel", "TrainState"]
+__all__ = ["AvatarModel", "TrainState", "WORLD_AABB"]
+
+# the reference's hard-coded SMPL-space scene box (raymarcher_acc.py:61-62)
+WORLD_AABB = ((-1.25, -1.55, -1.25), (1.25, 0.95, 1.25))
 
 
 class TrainState(NamedTuple):
     params: Any            # field params (NGPParams, ...)
     opt_state: Any
+    grid: DensityGridState
     center: jax.Array      # (3,) field input normalization
     scale: jax.Array       # (3,)
     step: jax.Array        # () int32
@@ -44,14 +57,19 @@ class AvatarModel:
                  *,
                  n_steps: int = 256,
                  k_cap: int | None = 64,
+                 grid_size: int = 64,
+                 grid_update_interval: int = 20,
                  noise_steps: int = 1000,
+                 use_noise: bool = True,
                  loss_weights: dict[str, float] | None = None,
                  optimizer: optax.GradientTransformation | None = None):
         self.field = field or NGPField()
         self.deformer = deformer or SMPLDeformer(body_model)
         self.n_steps = n_steps
         self.k_cap = k_cap
-        self.noise_steps = noise_steps
+        self.grid_size = grid_size
+        self.grid_update_interval = grid_update_interval
+        self.noise_steps = noise_steps if use_noise else 0
         self.loss_weights = dict(w_rgb=1.0, w_alpha=0.1, w_reg=0.1)
         if loss_weights:
             self.loss_weights.update(loss_weights)
@@ -65,8 +83,12 @@ class AvatarModel:
         from ..deformers.smpl_deformer import get_bbox_from_verts
         bbox = get_bbox_from_verts(cano.vertices[0])
         center, scale = bbox_center_scale(bbox)
+        grid = make_grid_state(jnp.asarray(WORLD_AABB), self.grid_size)
+        # before the first grid update, march everywhere inside the box
+        grid = grid._replace(occupancy=jnp.ones_like(grid.occupancy))
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),
+                          grid=grid,
                           center=center, scale=scale,
                           step=jnp.int32(0))
 
@@ -75,15 +97,23 @@ class AvatarModel:
     def _net_apply(self, params, center, scale):
         return lambda x: self.field.apply(params, x, center, scale)
 
-    def render(self, params, center, scale, batch: dict[str, jax.Array],
-               *, key: jax.Array | None = None,
-               noise_std: jax.Array | float = 0.0,
-               bg_color: jax.Array | None = None) -> dict[str, jax.Array]:
-        """Render one frame's ray bundle (flat or patch-shaped)."""
-        dstate = self.deformer.prepare(
+    def _prepare(self, batch):
+        return self.deformer.prepare(
             batch["betas"].reshape(1, -1), batch["body_pose"].reshape(1, -1),
             batch["global_orient"].reshape(1, -1),
             batch["transl"].reshape(1, -1))
+
+    def render(self, params, center, scale, batch, *,
+               dstate=None, grid: DensityGridState | None = None,
+               key=None, noise_std=0.0, bg_color=None,
+               k_cap: int | None = None) -> dict[str, jax.Array]:
+        """Render one frame's ray bundle (flat or patch-shaped).
+
+        near/far are recomputed by the world->SMPL ray transform
+        (reference smpl_deformer.py:76-84); batch near/far are ignored.
+        """
+        if dstate is None:
+            dstate = self._prepare(batch)
         rays = Rays(o=batch["rays_o"], d=batch["rays_d"],
                     near=batch["near"], far=batch["far"])
         rays_s = self.deformer.transform_rays_w2s(dstate, rays)
@@ -91,10 +121,13 @@ class AvatarModel:
             bg_color = bg_color.reshape(-1, 3)  # marcher works on flat rays
         field_fn = self.deformer.make_field_fn(
             dstate, self._net_apply(params, center, scale))
+        occupancy_fn = (None if grid is None
+                        else lambda pts: occupancy_lookup(grid, pts))
         out = render_rays(
             field_fn, rays_s,
-            aabb=dstate.bbox_deformed,
-            n_steps=self.n_steps, k_cap=self.k_cap,
+            occupancy_fn=occupancy_fn,
+            aabb=grid.aabb if grid is not None else dstate.bbox_deformed,
+            n_steps=self.n_steps, k_cap=k_cap or self.k_cap,
             key=key, noise_std=noise_std,
             bg_color=bg_color)
         shape = batch["rays_o"].shape[:-1]
@@ -108,35 +141,124 @@ class AvatarModel:
 
     # -- training ---------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def train_step(self, state: TrainState, batch: dict[str, jax.Array],
-                   key: jax.Array) -> tuple[TrainState, dict[str, jax.Array]]:
-        noise_std = jnp.where(state.step < self.noise_steps, 1.0, 0.0)
+    def _density_fn(self, params, center, scale, dstate):
+        """Grid-update query: full deform + field sigma on SMPL-space pts
+        (the reference queries deformer(coords, net) the same way,
+        density_grid.py:48-50)."""
+        net = self._net_apply(params, center, scale)
+
+        def fn(pts):
+            xc, valid = self.deformer.deform(dstate, pts)
+            _, sigma = net(xc)
+            return jnp.where(valid, sigma, 0.0)
+        return fn
+
+    def _step_impl(self, state: TrainState, batch, key,
+                   with_grid_update: bool):
+        noise_std = jnp.where(state.step < self.noise_steps, 1.0, 0.0) \
+            if self.noise_steps > 0 else 0.0
+        k_render, k_grid = jax.random.split(key)
 
         def loss_fn(params):
+            dstate = self._prepare(batch)
+            new_grid = state.grid
+            reg = 0.0
+            if with_grid_update:
+                new_grid, density_norm, old_occ = update_grid(
+                    state.grid,
+                    self._density_fn(params, state.center, state.scale,
+                                     dstate),
+                    k_grid)
+                # first 500 steps: judge vs the fresh field (DNeRF.py:104-107)
+                valid = jnp.where(state.step < 500, new_grid.occupancy,
+                                  old_occ)
+                reg = occupancy_regularizer(density_norm, valid, state.step,
+                                            self.grid_update_interval)
             predicts = self.render(params, state.center, state.scale, batch,
-                                   key=key, noise_std=noise_std,
+                                   dstate=dstate, grid=new_grid,
+                                   key=k_render, noise_std=noise_std,
                                    bg_color=batch.get("bg_color"))
             total, losses = nerf_loss(predicts, batch, **self.loss_weights)
-            losses["counter_avg"] = jnp.mean(predicts["counter"].astype(
-                jnp.float32))
-            return total, losses
+            total = total + reg
+            losses["loss"] = total
+            losses["reg_occupancy"] = jnp.asarray(reg)
+            losses["counter_avg"] = jnp.mean(
+                predicts["counter"].astype(jnp.float32))
+            return total, (losses, new_grid)
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (_, (losses, new_grid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
-        return (TrainState(params, opt_state, state.center, state.scale,
-                           state.step + 1),
+        return (TrainState(params, opt_state, new_grid, state.center,
+                           state.scale, state.step + 1),
                 losses)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, state: TrainState, batch, key):
+        return self._step_impl(state, batch, key, with_grid_update=False)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step_update(self, state: TrainState, batch, key):
+        """Train step + occupancy-grid update + occupancy regularizer
+        (host calls this every ``grid_update_interval`` steps)."""
+        return self._step_impl(state, batch, key, with_grid_update=True)
+
+    def step(self, state: TrainState, batch, key):
+        """Host-side dispatcher matching the reference cadence."""
+        if int(state.step) % self.grid_update_interval == 0:
+            return self.train_step_update(state, batch, key)
+        return self.train_step(state, batch, key)
 
     # -- inference --------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def eval_rays(self, state: TrainState, batch: dict[str, jax.Array]
-                  ) -> dict[str, jax.Array]:
-        """No-grad render of a (chunked) ray bundle, white background."""
+    @functools.partial(jax.jit, static_argnums=0)
+    def build_test_grid(self, state: TrainState, batch
+                        ) -> DensityGridState:
+        """Per-frame test grid: aabb from the deformed body, 5 jittered
+        max-density passes (density_grid.py:94-110)."""
+        dstate = self._prepare(batch)
+        return initialize_grid(
+            dstate.bbox_deformed,
+            self._density_fn(state.params, state.center, state.scale,
+                             dstate),
+            jax.random.PRNGKey(0), self.grid_size)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_rays(self, state: TrainState, batch,
+                  grid: DensityGridState | None = None):
+        """No-grad render of a ray bundle (white/bg background)."""
         return self.render(state.params, state.center, state.scale, batch,
-                           key=None, noise_std=0.0,
+                           grid=grid, key=None, noise_std=0.0,
                            bg_color=batch.get("bg_color"))
+
+    def render_frame(self, state: TrainState, batch,
+                     chunk: int = 32768) -> dict[str, jax.Array]:
+        """Full-frame inference: build the test grid once, then render the
+        pixel rays in fixed-size chunks (render_image_fast analog,
+        DNeRF.py:72-97)."""
+        import numpy as np
+        grid = self.build_test_grid(state, batch)
+        n = batch["rays_o"].shape[0]
+        outs = []
+        for i in range(0, n, chunk):
+            sl = slice(i, min(i + chunk, n))
+            sub = dict(batch)
+            for k in ("rays_o", "rays_d", "near", "far", "rgb", "alpha",
+                      "bg_color"):
+                if k in sub and hasattr(sub[k], "shape") \
+                        and sub[k].shape[:1] == (n,):
+                    sub[k] = sub[k][sl]
+            pad = chunk - (sl.stop - sl.start)
+            if pad:
+                for k in ("rays_o", "rays_d", "near", "far", "bg_color"):
+                    if k in sub and hasattr(sub[k], "shape") \
+                            and sub[k].shape[:1] == (sl.stop - sl.start,):
+                        sub[k] = jnp.concatenate(
+                            [sub[k], jnp.repeat(sub[k][-1:], pad, axis=0)])
+            out = self.eval_rays(state, sub, grid)
+            outs.append({k: np.asarray(v)[:chunk - pad if pad else chunk]
+                         for k, v in out.items() if k != "weights"})
+        return {k: np.concatenate([o[k] for o in outs], axis=0)
+                for k in outs[0]}

@@ -84,6 +84,40 @@ def test_e2e_training_learns(seq_dir, toy_model):
     assert float(losses["counter_avg"]) > 1.0
 
 
+def test_e2e_grid_training_and_render_frame(seq_dir, toy_model):
+    """Full production-shaped loop: step() dispatcher (grid update every
+    N steps + occupancy regularizer) with k_cap compaction, then
+    render_frame (test-grid init + chunked inference)."""
+    avatar = _make_avatar(toy_model, k_cap=24)
+    avatar.grid_update_interval = 10
+    avatar.grid_size = 32
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=2, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(3)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    state = state._replace(grid=state.grid._replace(
+        occupancy=jnp.ones((32, 32, 32), bool),
+        density_cached=jnp.zeros((32, 32, 32))))
+    key = jax.random.PRNGKey(11)
+    for i in range(40):
+        batch = {k: jnp.asarray(v) for k, v in train[i % len(train)].items()}
+        key, sub = jax.random.split(key)
+        state, losses = avatar.step(state, batch, sub)
+    assert np.isfinite(float(losses["loss"]))
+    # grid converged to a small occupied fraction (body only)
+    frac = float(state.grid.occupancy.mean())
+    assert 0.0 < frac < 0.5, frac
+    # occupancy regularizer fired on update steps
+    assert float(losses["counter_avg"]) <= 24
+
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+    out = avatar.render_frame(state, b, chunk=1024)
+    assert out["rgb"].shape == (48 * 48, 3)
+    assert np.isfinite(out["rgb"]).all()
+
+
 def test_e2e_render_eval(seq_dir, toy_model):
     """Train briefly, then render a full val frame and compare inside-mask
     RGB against ground truth (coarse PSNR floor)."""
