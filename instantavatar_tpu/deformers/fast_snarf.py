@@ -1,0 +1,391 @@
+"""Fast-SNARF forward deformer — TPU-native.
+
+The production articulation module: capability parity with
+/root/reference/instant_avatar/deformers/{snarf_deformer.py,
+fast_snarf/deformer_torch.py} and its three CUDA kernels (fuse_broyden,
+precompute, filter). Finds, for every posed-space sample, its canonical
+correspondences by iterative root-finding of the forward-skinning map.
+
+TPU redesign (SURVEY §7.1.2):
+  * ``precompute`` CUDA kernel -> one einsum baking the per-frame
+    skinning-Jacobian voxel ``voxel_J (12, D, H, W)`` from the LBS weight
+    voxel and bone transforms.
+  * ``fuse_broyden`` CUDA kernel (one thread per point x init-bone, early
+    returns) -> a vectorized ``lax.fori_loop`` over a fixed 10 iterations
+    with per-lane done/valid masks; divergence "return" becomes a state
+    freeze. Trilinear J sampling via ops.grid_sample_3d.
+  * ``filter`` CUDA dedup -> a pairwise (I, I) mask.
+  * pytorch3d KNN(K=30) -> ops.knn.knn_points (MXU matmul + top_k).
+  * The Broyden search runs under stop_gradient (the reference wraps it in
+    no_grad); gradients come from the version-1 implicit-function-theorem
+    correction or the version-2 re-skinning path (deformer_torch.py:50-75).
+
+Geometry/conventions preserved: anisotropic canonical voxel
+(D, H, W) = (res/4, res, res), normalized coords with the z-ratio fold,
+13 bone-anchored inits [0,1,2,4,5,10,11,12,15,16,17,18,19], convergence
+1e-5 / divergence 1e-1, a_pose/da_pose canonical rest poses, and
+``tfs = w2s @ A @ A_cano^-1``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..body import SMPLModel, smpl_forward
+from ..ops.grid_sample import grid_sample_3d
+from ..ops.knn import knn_points
+from .smpl_deformer import get_bbox_from_verts, rigid_inverse
+
+__all__ = ["SNARFDeformer", "SnarfCanonical", "SnarfFrame",
+           "get_predefined_rest_pose"]
+
+INIT_BONES = (0, 1, 2, 4, 5, 10, 11, 12, 15, 16, 17, 18, 19)
+
+
+def get_predefined_rest_pose(cano_pose: str | tuple) -> jax.Array:
+    """Canonical rest pose (snarf_deformer.py:6-18): 'da_pose' legs pi/6,
+    'a_pose' legs 0.2 + elbows -/+0.8, or 4 explicit angles."""
+    pose = jnp.zeros((1, 69))
+    if isinstance(cano_pose, str):
+        if cano_pose.lower() == "da_pose":
+            angles = (jnp.pi / 6, -jnp.pi / 6, 0.0, 0.0)
+        elif cano_pose.lower() == "a_pose":
+            angles = (0.2, -0.2, -0.8, 0.8)
+        else:
+            raise ValueError(f"unknown cano_pose: {cano_pose}")
+    else:
+        angles = tuple(cano_pose)
+    pose = pose.at[:, 2].set(angles[0])
+    pose = pose.at[:, 5].set(angles[1])
+    pose = pose.at[:, 47].set(angles[2])
+    pose = pose.at[:, 50].set(angles[3])
+    return pose
+
+
+class SnarfCanonical(NamedTuple):
+    """Once-per-subject baked state (switch_to_explicit analog)."""
+    lbs_voxel: jax.Array    # (24, D, H, W) smoothed skinning weights
+    offset: jax.Array       # (3,) voxel-normalization offset
+    inv_scale: jax.Array    # (3,) 1/scale with z-ratio folded in
+    tfs_inv_t: jax.Array    # (24, 4, 4) inverse canonical bone transforms
+    vs_template: jax.Array  # (V, 3) canonical verts
+    bbox: jax.Array         # (2, 3) canonical bbox (net init)
+
+
+class SnarfFrame(NamedTuple):
+    """Per-frame baked state (precompute analog)."""
+    voxel_J: jax.Array      # (12, D, H, W) blended 3x4 skinning transforms
+    voxel_d: jax.Array      # (3, D, H, W) forward-warped cell positions
+    tfs: jax.Array          # (24, 4, 4) canonical -> posed SMPL space
+    w2s: jax.Array          # (4, 4)
+    verts_smpl: jax.Array   # (V, 3) posed verts in SMPL space
+
+
+def _voxel_grid_coords(res: int) -> jax.Array:
+    """Normalized (D*H*W, 3) cell coords in [-1, 1], xyz order."""
+    d, h, w = res // 4, res, res
+    zs = jnp.linspace(-1.0, 1.0, d)
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    z, y, x = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+
+class SNARFDeformer:
+    """Static descriptor; canonical/frame state are explicit pytrees."""
+
+    def __init__(self, body_model: SMPLModel, *,
+                 resolution: int = 128,
+                 cano_pose: str | tuple = "a_pose",
+                 global_scale: float = 1.2,
+                 n_iters: int = 10,
+                 cvg_threshold: float = 1e-5,
+                 dvg_threshold: float = 1e-1,
+                 version: int = 1,
+                 knn_chunk: int = 8192):
+        self.body = body_model
+        self.resolution = resolution
+        self.cano_pose = cano_pose
+        self.global_scale = global_scale
+        self.n_iters = n_iters
+        self.cvg = cvg_threshold
+        self.dvg = dvg_threshold
+        self.version = version
+        self.knn_chunk = knn_chunk
+        self.init_bones = np.asarray(INIT_BONES, np.int32)
+
+    @property
+    def vox_shape(self) -> tuple[int, int, int]:
+        return self.resolution // 4, self.resolution, self.resolution
+
+    # uniform deformer interface (shared with SMPLDeformer)
+    def init_state(self, betas: jax.Array) -> "SnarfCanonical":
+        return self.build_canonical(betas)
+
+    def canonical_bbox(self, cano: "SnarfCanonical", betas) -> jax.Array:
+        return cano.bbox
+
+    def prepare_frame(self, cano, betas, body_pose, global_orient, transl
+                      ) -> "SnarfFrame":
+        return self.prepare(cano, betas, body_pose, global_orient, transl)
+
+    def make_frame_field_fn(self, cano, frame, net_apply,
+                            eval_mode: bool = False):
+        return self.make_field_fn(cano, frame, net_apply, eval_mode)
+
+    # -- canonical bake ---------------------------------------------------
+
+    def normalize(self, canonical: SnarfCanonical, x: jax.Array) -> jax.Array:
+        """SMPL-space canonical point -> [-1,1] voxel coords (z-ratio
+        folded into inv_scale, deformer_torch.py:151-166)."""
+        return (x - canonical.offset) * canonical.inv_scale
+
+    def denormalize(self, canonical: SnarfCanonical, x: jax.Array) -> jax.Array:
+        return x / canonical.inv_scale + canonical.offset
+
+    def build_canonical(self, betas: jax.Array) -> SnarfCanonical:
+        """Bake the per-subject canonical state: rest-pose SMPL, voxel
+        bounds, KNN(30) inverse-distance LBS weights + 30 Laplacian
+        smoothing sweeps (query_weights_smpl, deformer_torch.py:225-244)."""
+        d, h, w = self.vox_shape
+        ratio = h / d
+        rest = smpl_forward(self.body, betas.reshape(1, -1),
+                            get_predefined_rest_pose(self.cano_pose),
+                            jnp.zeros((1, 3)))
+        verts = rest.vertices[0]
+        vmin, vmax = verts.min(axis=0), verts.max(axis=0)
+        offset = (vmin + vmax) / 2
+        scale = jnp.max(vmax - vmin) / 2 * self.global_scale
+        inv_scale = jnp.stack([1.0 / scale, 1.0 / scale, ratio / scale])
+
+        coords_n = _voxel_grid_coords(self.resolution)
+        coords = coords_n / inv_scale + offset        # denormalized
+
+        dist_sq, idx = knn_points(coords, verts, k=30, chunk=self.knn_chunk)
+        dist = jnp.clip(jnp.sqrt(dist_sq), 1e-4, 1.0)
+        wgt = 1.0 / dist
+        wgt = wgt / wgt.sum(-1, keepdims=True)        # (M, 30)
+        nn_w = jnp.take(self.body.lbs_weights, idx, axis=0)  # (M, 30, 24)
+        weights = jnp.einsum("mk,mkj->mj", wgt, nn_w)        # (M, 24)
+        vox = weights.T.reshape(24, d, h, w)
+
+        def smooth(_, v):
+            mean = (v[:, 2:, 1:-1, 1:-1] + v[:, :-2, 1:-1, 1:-1]
+                    + v[:, 1:-1, 2:, 1:-1] + v[:, 1:-1, :-2, 1:-1]
+                    + v[:, 1:-1, 1:-1, 2:] + v[:, 1:-1, 1:-1, :-2]) / 6.0
+            interior = (v[:, 1:-1, 1:-1, 1:-1] - mean) * 0.7 + mean
+            v = v.at[:, 1:-1, 1:-1, 1:-1].set(interior)
+            return v / v.sum(0, keepdims=True)
+
+        vox = jax.lax.fori_loop(0, 30, smooth, vox)
+
+        return SnarfCanonical(
+            lbs_voxel=vox,
+            offset=offset,
+            inv_scale=inv_scale,
+            tfs_inv_t=jnp.linalg.inv(rest.A[0]),
+            vs_template=verts,
+            bbox=get_bbox_from_verts(verts))
+
+    # -- per-frame bake ---------------------------------------------------
+
+    def prepare(self, canonical: SnarfCanonical, betas, body_pose,
+                global_orient, transl) -> SnarfFrame:
+        posed = smpl_forward(self.body, betas.reshape(1, -1),
+                             body_pose.reshape(1, -1),
+                             global_orient.reshape(1, -1),
+                             transl.reshape(1, -1))
+        s2w = posed.A[0, 0]
+        w2s = rigid_inverse(s2w)
+        tfs = jnp.einsum("ij,bjk,bkl->bil", w2s, posed.A[0],
+                         canonical.tfs_inv_t)          # (24, 4, 4)
+
+        d, h, w = self.vox_shape
+        # voxel_J[c] = sum_j lbs[j] * tfs[j, :3, :4]  (precompute.cu:51-58)
+        voxel_J = jnp.einsum("jdhw,jc->cdhw",
+                             canonical.lbs_voxel,
+                             tfs[:, :3, :4].reshape(24, 12))
+        coords = self.denormalize(canonical,
+                                  _voxel_grid_coords(self.resolution))
+        J = voxel_J.reshape(3, 4, d * h * w)
+        warped = (jnp.einsum("rcm,mc->mr", J[:, :3], coords) + J[:, 3].T)
+        voxel_d = warped.T.reshape(3, d, h, w)
+
+        verts_s = (posed.vertices[0] @ w2s[:3, :3].T) + w2s[:3, 3]
+        return SnarfFrame(voxel_J=voxel_J, voxel_d=voxel_d, tfs=tfs,
+                          w2s=w2s, verts_smpl=verts_s)
+
+    def bbox_deformed(self, frame: SnarfFrame) -> jax.Array:
+        """AABB of the forward-warped voxel (get_bbox_deformed,
+        snarf_deformer.py:105-107)."""
+        v = frame.voxel_d.reshape(3, -1)
+        return jnp.stack([v.min(axis=1), v.max(axis=1)])
+
+    def transform_rays_w2s(self, frame: SnarfFrame, rays):
+        from ..render.raymarcher import Rays
+        R, t = frame.w2s[:3, :3], frame.w2s[:3, 3]
+        o = rays.o @ R.T + t
+        dd = rays.d @ R.T
+        dist = jnp.linalg.norm(o, axis=-1)
+        return Rays(o=o, d=dd, near=dist - 1.0, far=dist + 1.0)
+
+    # -- Broyden search ---------------------------------------------------
+
+    def _sample_J(self, canonical: SnarfCanonical, frame: SnarfFrame,
+                  x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Trilerp voxel_J at canonical points x (..., 3) -> (J (..., 3, 3),
+        t (..., 3)); also returns nothing else. Border-padded like the CUDA
+        sampler's clamped reads."""
+        n = self.normalize(canonical, x)
+        J12 = grid_sample_3d(frame.voxel_J, n)         # (..., 12)
+        J = J12.reshape(*J12.shape[:-1], 3, 4)
+        return J[..., :3], J[..., 3]
+
+    def search(self, canonical: SnarfCanonical, frame: SnarfFrame,
+               xd: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Vectorized fused Broyden root-finding.
+
+        Args:
+          xd: (N, 3) posed SMPL-space points.
+        Returns:
+          xc (N, I, 3) canonical candidates (0 where invalid),
+          valid (N, I), J_inv (N, I, 3, 3).
+        No gradients flow (wrapped in stop_gradient like the reference's
+        no_grad search, deformer_torch.py:96-97).
+        """
+        xd = jax.lax.stop_gradient(xd)
+        tfs = jax.lax.stop_gradient(frame.tfs)
+        I = len(self.init_bones)
+        N = xd.shape[0]
+
+        bones = jnp.asarray(self.init_bones)
+        Rb = tfs[bones][:, :3, :3]                     # (I, 3, 3)
+        tb = tfs[bones][:, :3, 3]                      # (I, 3)
+        # init: inverse rigid transform of the anchor bone
+        # (xd - t) @ R == R^T (xd - t), matching the CUDA init
+        x0 = jnp.einsum("nic,icr->nir", xd[:, None] - tb[None], Rb)
+
+        J, t = self._sample_J(canonical, frame, x0)    # (N, I, 3, 3), (N,I,3)
+        J_inv = jnp.swapaxes(J, -1, -2)
+        g = jnp.einsum("nirc,nic->nir", J, x0) + t - xd[:, None]
+
+        done = jnp.zeros((N, I), bool)
+        valid = jnp.zeros((N, I), bool)
+
+        def body(_, carry):
+            x, g, J_inv, done, valid = carry
+            u = -jnp.einsum("nirc,nic->nir", J_inv, g)
+            x_new = jnp.where(done[..., None], x, x + u)
+            n_new = self.normalize(canonical, x_new)
+            J, t = self._sample_J(canonical, frame, x_new)
+            g_new = (jnp.einsum("nirc,nic->nir", J, x_new) + t
+                     - xd[:, None])
+            norm_sq = jnp.sum(g_new * g_new, axis=-1)
+            conv = norm_sq < self.cvg ** 2
+            div = norm_sq > self.dvg ** 2
+            in_bounds = jnp.all(jnp.abs(n_new) <= 1.0, axis=-1)
+
+            newly_conv = conv & ~done
+            newly_div = div & ~conv & ~done
+            valid = valid | (newly_conv & in_bounds)
+
+            # Broyden rank-1 (fuse_J_inv_update): c = J_inv^T dx;
+            # J_inv += outer(dx - J_inv dg, c) / (c . dg)
+            dg = g_new - g
+            c = jnp.einsum("nicr,nic->nir", J_inv, u)   # J_inv^T u
+            s = jnp.sum(c * dg, axis=-1, keepdims=True)[..., None]
+            r = -jnp.einsum("nirc,nic->nir", J_inv, dg)
+            upd = (r + u)[..., :, None] * c[..., None, :] / \
+                jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+            active = ~(done | newly_conv | newly_div)
+            J_inv_new = jnp.where(active[..., None, None], J_inv + upd, J_inv)
+            g_keep = jnp.where(done[..., None], g, g_new)
+            done = done | newly_conv | newly_div
+            return x_new, g_keep, J_inv_new, done, valid
+
+        x, g, J_inv, done, valid = jax.lax.fori_loop(
+            0, self.n_iters, body, (x0, g, J_inv, done, valid))
+
+        xc = jnp.where(valid[..., None], x, 0.0)
+        valid = self._filter_duplicates(xc, valid)
+        return xc, valid, J_inv
+
+    @staticmethod
+    def _filter_duplicates(xc: jax.Array, valid: jax.Array,
+                           eps: float = 1e-4) -> jax.Array:
+        """Drop candidate i if a *later* valid candidate j sits within eps
+        (filter.cu:25-51 keeps the last duplicate)."""
+        diff = xc[:, :, None] - xc[:, None]             # (N, I, I, 3)
+        close = jnp.sum(diff * diff, axis=-1) < eps ** 2
+        I = xc.shape[1]
+        later = jnp.triu(jnp.ones((I, I), bool), k=1)[None]
+        dup = jnp.any(close & later & valid[:, None], axis=-1)
+        return valid & ~dup
+
+    # -- skinning + gradients ---------------------------------------------
+
+    def query_weights(self, canonical: SnarfCanonical, xc: jax.Array
+                      ) -> jax.Array:
+        """(..., 3) canonical pts -> (..., 24) trilerped LBS weights."""
+        return grid_sample_3d(canonical.lbs_voxel,
+                              self.normalize(canonical, xc))
+
+    def forward_skinning(self, canonical: SnarfCanonical, tfs: jax.Array,
+                         xc: jax.Array) -> jax.Array:
+        """Canonical -> posed via voxel LBS (skinning_mask analog)."""
+        w = self.query_weights(canonical, xc)           # (..., 24)
+        T = jnp.einsum("...j,jrc->...rc", w, tfs[:, :3])  # (..., 3, 4)
+        return (jnp.einsum("...rc,...c->...r", T[..., :3], xc)
+                + T[..., 3])
+
+    def deform(self, canonical: SnarfCanonical, frame: SnarfFrame,
+               xd: jax.Array, eval_mode: bool = False
+               ) -> tuple[jax.Array, jax.Array]:
+        """(N, 3) posed pts -> (xc (N, I, 3), valid (N, I)) with gradients
+        per the configured version (deformer_torch.py:46-75)."""
+        xc, valid, J_inv = self.search(canonical, frame, xd)
+        if eval_mode:
+            return xc, valid
+        if self.version == 1:
+            # implicit-diff correction: xc' = -J_inv d(fwd_skin)/d(theta)
+            xd_opt = self.forward_skinning(
+                canonical, frame.tfs, xc)               # (N, I, 3)
+            corr = xd_opt - jax.lax.stop_gradient(xd_opt)
+            corr = -jnp.einsum("nirc,nic->nir",
+                               jax.lax.stop_gradient(J_inv), corr)
+            xc = xc + jnp.where(valid[..., None], corr, 0.0)
+            return xc, valid
+        # version 2: re-skin with grid weights; grads flow into tfs and xd
+        w = self.query_weights(canonical, jax.lax.stop_gradient(xc))
+        T = jnp.einsum("nij,jrc->nirc", w, frame.tfs[:, :3])  # (N,I,3,4)
+        rel = xd[:, None] - T[..., 3]
+        xc2 = jnp.einsum("nic,nicr->nir", rel, T[..., :3])
+        return jnp.where(valid[..., None], xc2, 0.0), valid
+
+    # -- field composition -------------------------------------------------
+
+    def make_field_fn(self, canonical: SnarfCanonical, frame: SnarfFrame,
+                      net_apply, eval_mode: bool = False):
+        """Marcher closure: deform -> evaluate net on all candidates ->
+        max-sigma select (snarf_deformer.py:139-158)."""
+        def field_fn(pts):
+            xc, valid = self.deform(canonical, frame, pts, eval_mode)
+            N, I, _ = xc.shape
+            rgb, sigma = net_apply(xc.reshape(N * I, 3))
+            rgb = rgb.reshape(N, I, 3)
+            sigma = sigma.reshape(N, I)
+            finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
+            ok = valid & finite
+            sigma = jnp.where(ok, sigma, -1e5)
+            best = jnp.argmax(sigma, axis=-1)
+            sigma_out = jnp.take_along_axis(sigma, best[:, None],
+                                            axis=1)[:, 0]
+            rgb_out = jnp.take_along_axis(
+                rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
+            any_ok = ok.any(axis=-1)
+            rgb_out = jnp.where(any_ok[:, None], rgb_out, 0.0)
+            return rgb_out, sigma_out, any_ok
+        return field_fn

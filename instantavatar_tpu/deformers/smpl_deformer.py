@@ -99,13 +99,32 @@ class SMPLDeformerState(NamedTuple):
 
 
 class SMPLDeformer:
-    """Static descriptor; all methods are pure."""
+    """Static descriptor; all methods are pure.
+
+    Deformer interface (shared with SNARFDeformer): ``init_state(betas)``
+    bakes per-subject canonical state, ``prepare(cano, ...)`` bakes
+    per-frame state, ``transform_rays_w2s`` / ``make_field_fn`` /
+    ``bbox_deformed`` consume it.
+    """
 
     def __init__(self, body_model: SMPLModel, threshold: float = 0.05,
                  knn_chunk: int = 8192):
         self.body = body_model
         self.threshold = threshold
         self.knn_chunk = knn_chunk
+
+    def init_state(self, betas: jax.Array):
+        """No per-subject bake needed (canonical is rebuilt per prepare,
+        mirroring the reference's re-initialize-every-call,
+        smpl_deformer.py:57-60)."""
+        return ()
+
+    def canonical_bbox(self, cano, betas: jax.Array) -> jax.Array:
+        out = self.canonical_smpl(jnp.asarray(betas).reshape(1, -1))
+        return get_bbox_from_verts(out.vertices[0])
+
+    def bbox_deformed(self, state: "SMPLDeformerState") -> jax.Array:
+        return state.bbox_deformed
 
     def canonical_pose(self, batch: int = 1) -> jax.Array:
         """da-pose: legs split by pi/6 (smpl_deformer.py:36-38)."""
@@ -165,6 +184,15 @@ class SMPLDeformer:
         T = jnp.take(state.T_inv, idx, axis=0)                # (M, 4, 4)
         xc = (T[:, :3, :3] @ pts[..., None])[..., 0] + T[:, :3, 3]
         return xc, valid
+
+    def prepare_frame(self, cano, betas, body_pose, global_orient, transl
+                      ) -> SMPLDeformerState:
+        """Uniform deformer interface; cano is unused for this deformer."""
+        return self.prepare(betas, body_pose, global_orient, transl)
+
+    def make_frame_field_fn(self, cano, state: SMPLDeformerState, net_apply,
+                            eval_mode: bool = False):
+        return self.make_field_fn(state, net_apply, eval_mode)
 
     def make_field_fn(self, state: SMPLDeformerState, net_apply,
                       eval_mode: bool = False):

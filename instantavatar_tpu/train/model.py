@@ -42,6 +42,7 @@ class TrainState(NamedTuple):
     params: Any            # field params (NGPParams, ...)
     opt_state: Any
     grid: DensityGridState
+    deformer_cano: Any     # per-subject deformer bake (SNARF LBS voxel, ...)
     center: jax.Array      # (3,) field input normalization
     scale: jax.Array       # (3,)
     step: jax.Array        # () int32
@@ -79,9 +80,9 @@ class AvatarModel:
 
     def init(self, key: jax.Array, betas: jax.Array) -> TrainState:
         params = self.field.init(key)
-        cano = self.deformer.canonical_smpl(jnp.asarray(betas).reshape(1, -1))
-        from ..deformers.smpl_deformer import get_bbox_from_verts
-        bbox = get_bbox_from_verts(cano.vertices[0])
+        betas = jnp.asarray(betas).reshape(1, -1)
+        cano = self.deformer.init_state(betas)
+        bbox = self.deformer.canonical_bbox(cano, betas)
         center, scale = bbox_center_scale(bbox)
         grid = make_grid_state(jnp.asarray(WORLD_AABB), self.grid_size)
         # before the first grid update, march everywhere inside the box
@@ -89,6 +90,7 @@ class AvatarModel:
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),
                           grid=grid,
+                          deformer_cano=cano,
                           center=center, scale=scale,
                           step=jnp.int32(0))
 
@@ -97,15 +99,18 @@ class AvatarModel:
     def _net_apply(self, params, center, scale):
         return lambda x: self.field.apply(params, x, center, scale)
 
-    def _prepare(self, batch):
-        return self.deformer.prepare(
+    def _prepare(self, cano, batch):
+        return self.deformer.prepare_frame(
+            cano,
             batch["betas"].reshape(1, -1), batch["body_pose"].reshape(1, -1),
             batch["global_orient"].reshape(1, -1),
             batch["transl"].reshape(1, -1))
 
     def render(self, params, center, scale, batch, *,
-               dstate=None, grid: DensityGridState | None = None,
+               cano=None, dstate=None,
+               grid: DensityGridState | None = None,
                key=None, noise_std=0.0, bg_color=None,
+               eval_mode: bool = True,
                k_cap: int | None = None) -> dict[str, jax.Array]:
         """Render one frame's ray bundle (flat or patch-shaped).
 
@@ -113,20 +118,22 @@ class AvatarModel:
         (reference smpl_deformer.py:76-84); batch near/far are ignored.
         """
         if dstate is None:
-            dstate = self._prepare(batch)
+            dstate = self._prepare(cano, batch)
         rays = Rays(o=batch["rays_o"], d=batch["rays_d"],
                     near=batch["near"], far=batch["far"])
         rays_s = self.deformer.transform_rays_w2s(dstate, rays)
         if bg_color is not None and bg_color.ndim > 2:
             bg_color = bg_color.reshape(-1, 3)  # marcher works on flat rays
-        field_fn = self.deformer.make_field_fn(
-            dstate, self._net_apply(params, center, scale))
+        field_fn = self.deformer.make_frame_field_fn(
+            cano, dstate, self._net_apply(params, center, scale),
+            eval_mode=eval_mode)
         occupancy_fn = (None if grid is None
                         else lambda pts: occupancy_lookup(grid, pts))
         out = render_rays(
             field_fn, rays_s,
             occupancy_fn=occupancy_fn,
-            aabb=grid.aabb if grid is not None else dstate.bbox_deformed,
+            aabb=grid.aabb if grid is not None
+            else self.deformer.bbox_deformed(dstate),
             n_steps=self.n_steps, k_cap=k_cap or self.k_cap,
             key=key, noise_std=noise_std,
             bg_color=bg_color)
@@ -141,15 +148,17 @@ class AvatarModel:
 
     # -- training ---------------------------------------------------------
 
-    def _density_fn(self, params, center, scale, dstate):
+    def _density_fn(self, params, center, scale, cano, dstate):
         """Grid-update query: full deform + field sigma on SMPL-space pts
         (the reference queries deformer(coords, net) the same way,
-        density_grid.py:48-50)."""
-        net = self._net_apply(params, center, scale)
+        density_grid.py:48-50). Uses the deformer's field closure so it
+        works for both SMPL-NN and SNARF deformers."""
+        field_fn = self.deformer.make_frame_field_fn(
+            cano, dstate, self._net_apply(params, center, scale),
+            eval_mode=True)
 
         def fn(pts):
-            xc, valid = self.deformer.deform(dstate, pts)
-            _, sigma = net(xc)
+            _, sigma, valid = field_fn(pts)
             return jnp.where(valid, sigma, 0.0)
         return fn
 
@@ -160,14 +169,14 @@ class AvatarModel:
         k_render, k_grid = jax.random.split(key)
 
         def loss_fn(params):
-            dstate = self._prepare(batch)
+            dstate = self._prepare(state.deformer_cano, batch)
             new_grid = state.grid
             reg = 0.0
             if with_grid_update:
                 new_grid, density_norm, old_occ = update_grid(
                     state.grid,
                     self._density_fn(params, state.center, state.scale,
-                                     dstate),
+                                     state.deformer_cano, dstate),
                     k_grid)
                 # first 500 steps: judge vs the fresh field (DNeRF.py:104-107)
                 valid = jnp.where(state.step < 500, new_grid.occupancy,
@@ -175,7 +184,8 @@ class AvatarModel:
                 reg = occupancy_regularizer(density_norm, valid, state.step,
                                             self.grid_update_interval)
             predicts = self.render(params, state.center, state.scale, batch,
-                                   dstate=dstate, grid=new_grid,
+                                   cano=state.deformer_cano, dstate=dstate,
+                                   grid=new_grid, eval_mode=False,
                                    key=k_render, noise_std=noise_std,
                                    bg_color=batch.get("bg_color"))
             total, losses = nerf_loss(predicts, batch, **self.loss_weights)
@@ -191,8 +201,8 @@ class AvatarModel:
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
-        return (TrainState(params, opt_state, new_grid, state.center,
-                           state.scale, state.step + 1),
+        return (state._replace(params=params, opt_state=opt_state,
+                               grid=new_grid, step=state.step + 1),
                 losses)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -218,11 +228,11 @@ class AvatarModel:
                         ) -> DensityGridState:
         """Per-frame test grid: aabb from the deformed body, 5 jittered
         max-density passes (density_grid.py:94-110)."""
-        dstate = self._prepare(batch)
+        dstate = self._prepare(state.deformer_cano, batch)
         return initialize_grid(
-            dstate.bbox_deformed,
+            self.deformer.bbox_deformed(dstate),
             self._density_fn(state.params, state.center, state.scale,
-                             dstate),
+                             state.deformer_cano, dstate),
             jax.random.PRNGKey(0), self.grid_size)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -230,7 +240,8 @@ class AvatarModel:
                   grid: DensityGridState | None = None):
         """No-grad render of a ray bundle (white/bg background)."""
         return self.render(state.params, state.center, state.scale, batch,
-                           grid=grid, key=None, noise_std=0.0,
+                           cano=state.deformer_cano, grid=grid,
+                           key=None, noise_std=0.0, eval_mode=True,
                            bg_color=batch.get("bg_color"))
 
     def render_frame(self, state: TrainState, batch,

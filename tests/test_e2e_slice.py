@@ -118,6 +118,38 @@ def test_e2e_grid_training_and_render_frame(seq_dir, toy_model):
     assert np.isfinite(out["rgb"]).all()
 
 
+def test_e2e_snarf_training(seq_dir, toy_model):
+    """Production deformer path: SNARF Broyden search end-to-end in the
+    train loop (SURVEY §7.2 step 6)."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    snarf = SNARFDeformer(toy_model, resolution=32, cano_pose="da_pose",
+                          knn_chunk=4096)
+    avatar = AvatarModel(toy_model, field, snarf,
+                         n_steps=64, k_cap=24, grid_size=32,
+                         grid_update_interval=10, noise_steps=0,
+                         optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=2, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(5)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    key = jax.random.PRNGKey(13)
+    first = None
+    for i in range(40):
+        batch = {k: jnp.asarray(v) for k, v in train[i % len(train)].items()}
+        key, sub = jax.random.split(key)
+        state, losses = avatar.step(state, batch, sub)
+        if first is None:
+            first = float(losses["mse_loss"])
+    final = float(losses["mse_loss"])
+    assert np.isfinite(final)
+    assert final < 0.9 * first, (first, final)
+    assert float(losses["counter_avg"]) > 0.5  # SNARF finds body samples
+
+
 def test_e2e_render_eval(seq_dir, toy_model):
     """Train briefly, then render a full val frame and compare inside-mask
     RGB against ground truth (coarse PSNR floor)."""
