@@ -1,0 +1,113 @@
+"""Benchmark: novel-view rendering throughput on the flagship avatar.
+
+Full production inference path on the real chip — Fast-SNARF Broyden
+deform (res-128 voxel, bone-pruned inits) + the TPU-native voxel+triplane
+canonical field (bf16 MLPs) + occupancy-masked march with per-ray
+compaction + host ray pruning + single-dispatch chunked rendering — over a
+540x540 pixel grid (the reference benchmark's render resolution,
+bash/run-peoplesnapshot.sh downscale=2).
+
+The occupancy grid is seeded from the posed body mesh (the reference's
+smpl_init path, density_grid.py:53-75) so ray pruning and sample counts
+match a *trained* avatar's workload rather than an untrained field's noise.
+
+Prints ONE JSON line: rays/sec with vs_baseline relative to the driver
+target of 30 FPS @ 540px (= 8,748,000 rays/sec, BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H = W = 540
+TARGET_RAYS_PER_SEC = H * W * 30.0  # 30 FPS @ 540px
+CHUNK = 16384
+
+
+def main() -> None:
+    from instantavatar_tpu.body import toy_smpl_model
+    from instantavatar_tpu.data.rays import make_ray_grid
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.models import VoxelTriplaneField
+    from instantavatar_tpu.render.density_grid import make_grid_state
+    from instantavatar_tpu.train import AvatarModel
+
+    body = toy_smpl_model()
+    avatar = AvatarModel(
+        body, VoxelTriplaneField(),
+        SNARFDeformer(body, resolution=128, cano_pose="a_pose",
+                      n_iters=6, cand_cap=4, n_init_active=4),
+        n_steps=256, k_cap=16, grid_size=64)
+
+    state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+
+    K = np.array([[2000.0, 0, W / 2], [0, 2000.0, H / 2], [0, 0, 1]])
+    rays_o, rays_d = make_ray_grid(K, np.eye(4), H, W)
+    transl = np.array([0.0, 0.15, 5.0], np.float32)
+    near = float(np.linalg.norm(transl)) - 1
+    far = float(np.linalg.norm(transl)) + 1
+
+    batch = {
+        "rays_o": jnp.asarray(rays_o.reshape(-1, 3)),
+        "rays_d": jnp.asarray(rays_d.reshape(-1, 3)),
+        "near": jnp.full((H * W,), near),
+        "far": jnp.full((H * W,), far),
+        "bg_color": jnp.ones((H * W, 3)),
+        "betas": jnp.zeros((10,)),
+        "body_pose": jnp.zeros((69,)),
+        "global_orient": jnp.zeros((3,)),
+        "transl": jnp.asarray(transl),
+        "idx": jnp.int32(0),
+    }
+
+    # body-shaped occupancy (smpl_init-style) for a trained-like workload
+    @jax.jit
+    def body_grid(state):
+        dstate = avatar._prepare(state.deformer_cano,
+                                 {k: batch[k] for k in
+                                  ("betas", "body_pose", "global_orient",
+                                   "transl")})
+        aabb = avatar.deformer.bbox_deformed(dstate)
+        g = make_grid_state(aabb, avatar.grid_size)
+        G = avatar.grid_size
+        idx = (jnp.arange(G) + 0.5) / G
+        zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        pts = (jnp.stack([zz, yy, xx], -1).reshape(-1, 3)
+               * (aabb[1] - aabb[0]) + aabb[0])
+        d = jnp.linalg.norm(
+            pts[:, None] - dstate.verts_smpl[None], axis=-1).min(1)
+        return g._replace(occupancy=(d < 0.1).reshape(G, G, G))
+
+    grid = body_grid(state)
+    np.asarray(grid.occupancy)  # force
+
+    def render_frame():
+        out = avatar.render_frame(state, batch, chunk=CHUNK, grid=grid)
+        return out["rgb"][0, 0]  # numpy already — host-synced
+
+    render_frame()  # compile + warm
+    t0 = time.perf_counter()
+    n_frames = 3
+    for _ in range(n_frames):
+        render_frame()
+    dt = (time.perf_counter() - t0) / n_frames
+
+    rays_per_sec = H * W / dt
+    print(json.dumps({
+        "metric": "render_rays_per_sec_540px",
+        "value": round(rays_per_sec),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

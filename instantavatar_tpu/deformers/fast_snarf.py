@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..body import SMPLModel, smpl_forward
-from ..ops.grid_sample import grid_sample_3d
+from ..ops.grid_sample import (grid_sample_3d,
+                               grid_sample_3d_packed, pack_corners_3d)
 from ..ops.knn import knn_points
 from .smpl_deformer import get_bbox_from_verts, rigid_inverse
 
@@ -72,12 +73,13 @@ class SnarfCanonical(NamedTuple):
     inv_scale: jax.Array    # (3,) 1/scale with z-ratio folded in
     tfs_inv_t: jax.Array    # (24, 4, 4) inverse canonical bone transforms
     vs_template: jax.Array  # (V, 3) canonical verts
+    joints_cano: jax.Array  # (24, 3) canonical joint locations
     bbox: jax.Array         # (2, 3) canonical bbox (net init)
 
 
 class SnarfFrame(NamedTuple):
     """Per-frame baked state (precompute analog)."""
-    voxel_J: jax.Array      # (12, D, H, W) blended 3x4 skinning transforms
+    voxel_J_packed: jax.Array  # (D*H*W, 96) corner-packed 3x4 transforms
     voxel_d: jax.Array      # (3, D, H, W) forward-warped cell positions
     tfs: jax.Array          # (24, 4, 4) canonical -> posed SMPL space
     w2s: jax.Array          # (4, 4)
@@ -105,6 +107,8 @@ class SNARFDeformer:
                  cvg_threshold: float = 1e-5,
                  dvg_threshold: float = 1e-1,
                  version: int = 1,
+                 cand_cap: int = 4,
+                 n_init_active: int | None = None,
                  knn_chunk: int = 8192):
         self.body = body_model
         self.resolution = resolution
@@ -114,6 +118,10 @@ class SNARFDeformer:
         self.cvg = cvg_threshold
         self.dvg = dvg_threshold
         self.version = version
+        self.cand_cap = cand_cap
+        # prune the 13 bone inits to the A nearest posed bones per sample
+        # (None = reference-parity full set); see PERF.md
+        self.n_init_active = n_init_active
         self.knn_chunk = knn_chunk
         self.init_bones = np.asarray(INIT_BONES, np.int32)
 
@@ -188,6 +196,7 @@ class SNARFDeformer:
             inv_scale=inv_scale,
             tfs_inv_t=jnp.linalg.inv(rest.A[0]),
             vs_template=verts,
+            joints_cano=rest.joints[0],
             bbox=get_bbox_from_verts(verts))
 
     # -- per-frame bake ---------------------------------------------------
@@ -215,7 +224,8 @@ class SNARFDeformer:
         voxel_d = warped.T.reshape(3, d, h, w)
 
         verts_s = (posed.vertices[0] @ w2s[:3, :3].T) + w2s[:3, 3]
-        return SnarfFrame(voxel_J=voxel_J, voxel_d=voxel_d, tfs=tfs,
+        return SnarfFrame(voxel_J_packed=pack_corners_3d(voxel_J),
+                          voxel_d=voxel_d, tfs=tfs,
                           w2s=w2s, verts_smpl=verts_s)
 
     def bbox_deformed(self, frame: SnarfFrame) -> jax.Array:
@@ -240,7 +250,7 @@ class SNARFDeformer:
         t (..., 3)); also returns nothing else. Border-padded like the CUDA
         sampler's clamped reads."""
         n = self.normalize(canonical, x)
-        J12 = grid_sample_3d(frame.voxel_J, n)         # (..., 12)
+        J12 = grid_sample_3d_packed(frame.voxel_J_packed, self.vox_shape, n)
         J = J12.reshape(*J12.shape[:-1], 3, 4)
         return J[..., :3], J[..., 3]
 
@@ -374,9 +384,21 @@ class SNARFDeformer:
         def field_fn(pts):
             xc, valid = self.deform(canonical, frame, pts, eval_mode)
             N, I, _ = xc.shape
-            rgb, sigma = net_apply(xc.reshape(N * I, 3))
-            rgb = rgb.reshape(N, I, 3)
-            sigma = sigma.reshape(N, I)
+            # candidate compaction: of the 13 search lanes usually <=2 are
+            # valid — evaluate the (expensive) field only on the first
+            # cand_cap valid candidates per sample (static shapes; the
+            # dedup filter means dropped extras are genuine duplicates or
+            # rare >cand_cap-way contacts)
+            C = min(self.cand_cap, I)
+            if C < I:
+                from ..render.raymarcher import compact_samples
+                order, keep = compact_samples(valid, C)  # sort-free (PERF.md)
+                valid = keep
+                xc = jnp.take_along_axis(
+                    xc, order[..., None].repeat(3, -1), axis=1)
+            rgb, sigma = net_apply(xc.reshape(N * C, 3))
+            rgb = rgb.reshape(N, C, 3)
+            sigma = sigma.reshape(N, C)
             finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
             ok = valid & finite
             sigma = jnp.where(ok, sigma, -1e5)

@@ -15,7 +15,103 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["grid_sample_3d"]
+__all__ = ["grid_sample_3d", "pack_corners_3d", "grid_sample_3d_packed",
+           "pack_corners_2d", "grid_sample_2d_packed"]
+
+
+def pack_corners_2d(plane: jax.Array) -> jax.Array:
+    """(C, H, W) -> (H*W, 4*C) corner-packed rows (corner = dy*2 + dx)."""
+    C, H, W = plane.shape
+    v = jnp.pad(plane, ((0, 0), (0, 1), (0, 1)), mode="edge")
+    rows = [v[:, dy:dy + H, dx:dx + W] for dy in (0, 1) for dx in (0, 1)]
+    packed = jnp.stack(rows, axis=0)                  # (4, C, H, W)
+    return packed.transpose(2, 3, 0, 1).reshape(H * W, 4 * C)
+
+
+def grid_sample_2d_packed(packed: jax.Array, shape: tuple[int, int],
+                          uv: jax.Array) -> jax.Array:
+    """Bilinear sample from a corner-packed plane (one gather per point).
+
+    Args:
+      packed: (H*W, 4*C) from ``pack_corners_2d``.
+      shape: (H, W).
+      uv: (..., 2) in [0, 1], (u -> W, v -> H), align-corners.
+
+    Returns (..., C).
+    """
+    H, W = shape
+    C = packed.shape[-1] // 4
+    out_shape = uv.shape[:-1]
+    c = uv.reshape(-1, 2).astype(jnp.float32)
+    fu = jnp.clip(c[:, 0], 0.0, 1.0) * (W - 1)
+    fv = jnp.clip(c[:, 1], 0.0, 1.0) * (H - 1)
+    u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, max(W - 2, 0))
+    v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, max(H - 2, 0))
+    tu = fu - u0
+    tv = fv - v0
+    rows = jnp.take(packed, v0 * W + u0, axis=0).reshape(-1, 4, C)
+    w4 = jnp.stack([(1 - tv) * (1 - tu), (1 - tv) * tu,
+                    tv * (1 - tu), tv * tu], axis=-1)   # corner = dy*2+dx
+    out = jnp.einsum("mkc,mk->mc", rows, w4)
+    return out.reshape(*out_shape, C)
+
+
+def pack_corners_3d(voxel: jax.Array) -> jax.Array:
+    """(C, D, H, W) -> (D*H*W, 8*C) corner-packed rows.
+
+    Row for cell (d, h, w) holds the features of its 8 trilerp corners
+    (edge-replicated at the boundary), corner index = dz*4 + dy*2 + dx.
+    TPU rationale (PERF.md): random gathers cost ~6 ns *per row* regardless
+    of width, so fetching one 8C-wide row beats eight C-wide fetches ~8x.
+    Costs 8x feature memory — pack per-frame/baked voxels, not parameters.
+    """
+    C, D, H, W = voxel.shape
+    v = jnp.pad(voxel, ((0, 0), (0, 1), (0, 1), (0, 1)), mode="edge")
+    rows = [v[:, dz:dz + D, dy:dy + H, dx:dx + W]
+            for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    packed = jnp.stack(rows, axis=0)                  # (8, C, D, H, W)
+    return packed.transpose(2, 3, 4, 0, 1).reshape(D * H * W, 8 * C)
+
+
+def grid_sample_3d_packed(packed: jax.Array, shape: tuple[int, int, int],
+                          coords: jax.Array) -> jax.Array:
+    """Trilinear sample from a corner-packed voxel (one gather per point).
+
+    Args:
+      packed: (D*H*W, 8*C) from ``pack_corners_3d``.
+      shape: (D, H, W).
+      coords: (..., 3) normalized [-1, 1], xyz order (like grid_sample_3d).
+
+    Returns (..., C). align_corners=True, border padding.
+    """
+    D, H, W = shape
+    C = packed.shape[-1] // 8
+    out_shape = coords.shape[:-1]
+    c = coords.reshape(-1, 3).astype(jnp.float32)
+
+    fx = (c[:, 0] + 1.0) * 0.5 * (W - 1)
+    fy = (c[:, 1] + 1.0) * 0.5 * (H - 1)
+    fz = (c[:, 2] + 1.0) * 0.5 * (D - 1)
+
+    def split(f, size):
+        f = jnp.clip(f, 0.0, size - 1.0)
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, max(size - 2, 0))
+        return i0, f - i0
+
+    x0, tx = split(fx, W)
+    y0, ty = split(fy, H)
+    z0, tz = split(fz, D)
+
+    rows = jnp.take(packed, (z0 * H + y0) * W + x0, axis=0)  # (M, 8C)
+    rows = rows.reshape(-1, 8, C)
+
+    wx = jnp.stack([1 - tx, tx], axis=-1)              # (M, 2)
+    wy = jnp.stack([1 - ty, ty], axis=-1)
+    wz = jnp.stack([1 - tz, tz], axis=-1)
+    w8 = (wz[:, :, None, None] * wy[:, None, :, None]
+          * wx[:, None, None, :]).reshape(-1, 8)        # corner = dz*4+dy*2+dx
+    out = jnp.einsum("mkc,mk->mc", rows, w8)
+    return out.reshape(*out_shape, C)
 
 
 def grid_sample_3d(voxel: jax.Array, coords: jax.Array) -> jax.Array:

@@ -84,10 +84,21 @@ def compact_samples(valid: jax.Array, k_cap: int
     preserved) and keep the first k_cap.
 
     Returns (idx (N, K) int32 into the dense sample axis, keep (N, K) bool).
+
+    TPU note: implemented as cumsum + a one-hot contraction on the MXU —
+    a full argsort of the (N, S) mask costs ~200 ms at eval shapes on v5e
+    while this runs in ~1 ms (PERF.md). idx[n, k] = the position of the
+    (k+1)-th valid sample = sum_s s * [cumsum(valid)[n, s] == k+1 & valid].
     """
-    order = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)
-    idx = order[..., :k_cap].astype(jnp.int32)
-    keep = jnp.take_along_axis(valid, idx, axis=-1)
+    S = valid.shape[-1]
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)        # (N, S)
+    k = jnp.arange(1, k_cap + 1, dtype=jnp.int32)             # (K,)
+    hit = (cum[..., None] == k) & valid[..., None]            # (N, S, K)
+    s_idx = jnp.arange(S, dtype=jnp.float32)
+    idx = jnp.einsum("nsk,s->nk", hit.astype(jnp.float32), s_idx,
+                     preferred_element_type=jnp.float32)
+    idx = idx.astype(jnp.int32)                               # 0 where none
+    keep = k[None] <= cum[..., -1:]                           # (N, K)
     return idx, keep
 
 

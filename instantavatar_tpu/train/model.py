@@ -31,6 +31,7 @@ from ..render.density_grid import (DensityGridState, initialize_grid,
                                    make_grid_state, occupancy_lookup,
                                    occupancy_regularizer, update_grid)
 from ..render.raymarcher import Rays, render_rays
+from .smpl_params import SMPLParams, lookup_frame
 
 __all__ = ["AvatarModel", "TrainState", "WORLD_AABB"]
 
@@ -39,7 +40,7 @@ WORLD_AABB = ((-1.25, -1.55, -1.25), (1.25, 0.95, 1.25))
 
 
 class TrainState(NamedTuple):
-    params: Any            # field params (NGPParams, ...)
+    params: Any            # {"field": NGPParams..., "smpl": SMPLParams|()}
     opt_state: Any
     grid: DensityGridState
     deformer_cano: Any     # per-subject deformer bake (SNARF LBS voxel, ...)
@@ -62,6 +63,8 @@ class AvatarModel:
                  grid_update_interval: int = 20,
                  noise_steps: int = 1000,
                  use_noise: bool = True,
+                 optimize_smpl: bool = False,
+                 is_refine: bool = False,
                  loss_weights: dict[str, float] | None = None,
                  optimizer: optax.GradientTransformation | None = None):
         self.field = field or NGPField()
@@ -70,7 +73,10 @@ class AvatarModel:
         self.k_cap = k_cap
         self.grid_size = grid_size
         self.grid_update_interval = grid_update_interval
-        self.noise_steps = noise_steps if use_noise else 0
+        # refine mode disables sigma noise (DNeRF.py:65)
+        self.noise_steps = noise_steps if (use_noise and not is_refine) else 0
+        self.optimize_smpl = optimize_smpl
+        self.is_refine = is_refine
         self.loss_weights = dict(w_rgb=1.0, w_alpha=0.1, w_reg=0.1)
         if loss_weights:
             self.loss_weights.update(loss_weights)
@@ -78,9 +84,16 @@ class AvatarModel:
 
     # -- state ------------------------------------------------------------
 
-    def init(self, key: jax.Array, betas: jax.Array) -> TrainState:
-        params = self.field.init(key)
+    def init(self, key: jax.Array, betas: jax.Array,
+             smpl_params: SMPLParams | None = None) -> TrainState:
+        """Build the train state. ``smpl_params`` seeds the per-frame
+        optimizable SMPL embedding (required when optimize_smpl)."""
+        field_params = self.field.init(key)
         betas = jnp.asarray(betas).reshape(1, -1)
+        if self.optimize_smpl and smpl_params is None:
+            raise ValueError("optimize_smpl=True needs initial smpl_params")
+        params = {"field": field_params,
+                  "smpl": smpl_params if self.optimize_smpl else ()}
         cano = self.deformer.init_state(betas)
         bbox = self.deformer.canonical_bbox(cano, betas)
         center, scale = bbox_center_scale(bbox)
@@ -98,6 +111,21 @@ class AvatarModel:
 
     def _net_apply(self, params, center, scale):
         return lambda x: self.field.apply(params, x, center, scale)
+
+    def _resolve_batch(self, params, batch):
+        """Swap in the optimized per-frame SMPL params (DNeRF.py:113-128;
+        betas only for the SMPL-NN deformer like the reference)."""
+        if not self.optimize_smpl or not isinstance(params, dict) \
+                or not isinstance(params.get("smpl"), SMPLParams):
+            return batch
+        refined = lookup_frame(params["smpl"], batch["idx"])
+        out = dict(batch)
+        for k in ("global_orient", "body_pose", "transl"):
+            out[k] = refined[k]
+        from ..deformers.smpl_deformer import SMPLDeformer
+        if isinstance(self.deformer, SMPLDeformer):
+            out["betas"] = refined["betas"]
+        return out
 
     def _prepare(self, cano, batch):
         return self.deformer.prepare_frame(
@@ -162,20 +190,43 @@ class AvatarModel:
             return jnp.where(valid, sigma, 0.0)
         return fn
 
+    def grads_and_losses(self, state: TrainState, batch, key,
+                         with_grid_update: bool = False):
+        """Gradient computation only — the building block shared by the
+        single-chip steps below and the shard_map data-parallel step in
+        parallel/ (which pmeans the returned grads across ray shards)."""
+        return self._grads_impl(state, batch, key, with_grid_update)
+
+    def apply_grads(self, state: TrainState, grads, new_grid):
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(params=params, opt_state=opt_state,
+                              grid=new_grid, step=state.step + 1)
+
     def _step_impl(self, state: TrainState, batch, key,
                    with_grid_update: bool):
+        grads, losses, new_grid = self._grads_impl(state, batch, key,
+                                                   with_grid_update)
+        return self.apply_grads(state, grads, new_grid), losses
+
+    def _grads_impl(self, state: TrainState, batch, key,
+                    with_grid_update: bool):
         noise_std = jnp.where(state.step < self.noise_steps, 1.0, 0.0) \
             if self.noise_steps > 0 else 0.0
         k_render, k_grid = jax.random.split(key)
 
         def loss_fn(params):
-            dstate = self._prepare(state.deformer_cano, batch)
+            rbatch = self._resolve_batch(params, batch)
+            field_params = params["field"] if isinstance(params, dict) \
+                else params
+            dstate = self._prepare(state.deformer_cano, rbatch)
             new_grid = state.grid
             reg = 0.0
             if with_grid_update:
                 new_grid, density_norm, old_occ = update_grid(
                     state.grid,
-                    self._density_fn(params, state.center, state.scale,
+                    self._density_fn(field_params, state.center, state.scale,
                                      state.deformer_cano, dstate),
                     k_grid)
                 # first 500 steps: judge vs the fresh field (DNeRF.py:104-107)
@@ -183,13 +234,16 @@ class AvatarModel:
                                   old_occ)
                 reg = occupancy_regularizer(density_norm, valid, state.step,
                                             self.grid_update_interval)
-            predicts = self.render(params, state.center, state.scale, batch,
+            predicts = self.render(field_params, state.center, state.scale,
+                                   rbatch,
                                    cano=state.deformer_cano, dstate=dstate,
                                    grid=new_grid, eval_mode=False,
                                    key=k_render, noise_std=noise_std,
-                                   bg_color=batch.get("bg_color"))
-            total, losses = nerf_loss(predicts, batch, **self.loss_weights)
-            total = total + reg
+                                   bg_color=rbatch.get("bg_color"))
+            total, losses = nerf_loss(predicts, rbatch, **self.loss_weights)
+            # refine mode skips the occupancy reg (DNeRF.py:139)
+            if not self.is_refine:
+                total = total + reg
             losses["loss"] = total
             losses["reg_occupancy"] = jnp.asarray(reg)
             losses["counter_avg"] = jnp.mean(
@@ -198,12 +252,7 @@ class AvatarModel:
 
         (_, (losses, new_grid)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                   state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (state._replace(params=params, opt_state=opt_state,
-                               grid=new_grid, step=state.step + 1),
-                losses)
+        return grads, losses, new_grid
 
     @functools.partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, batch, key):
@@ -228,10 +277,13 @@ class AvatarModel:
                         ) -> DensityGridState:
         """Per-frame test grid: aabb from the deformed body, 5 jittered
         max-density passes (density_grid.py:94-110)."""
-        dstate = self._prepare(state.deformer_cano, batch)
+        rbatch = self._resolve_batch(state.params, batch)
+        dstate = self._prepare(state.deformer_cano, rbatch)
+        field_params = state.params["field"] \
+            if isinstance(state.params, dict) else state.params
         return initialize_grid(
             self.deformer.bbox_deformed(dstate),
-            self._density_fn(state.params, state.center, state.scale,
+            self._density_fn(field_params, state.center, state.scale,
                              state.deformer_cano, dstate),
             jax.random.PRNGKey(0), self.grid_size)
 
@@ -239,37 +291,121 @@ class AvatarModel:
     def eval_rays(self, state: TrainState, batch,
                   grid: DensityGridState | None = None):
         """No-grad render of a ray bundle (white/bg background)."""
-        return self.render(state.params, state.center, state.scale, batch,
+        rbatch = self._resolve_batch(state.params, batch)
+        field_params = state.params["field"] \
+            if isinstance(state.params, dict) else state.params
+        return self.render(field_params, state.center, state.scale, rbatch,
                            cano=state.deformer_cano, grid=grid,
                            key=None, noise_std=0.0, eval_mode=True,
-                           bg_color=batch.get("bg_color"))
+                           bg_color=rbatch.get("bg_color"))
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _ray_hit_prepass(self, state: TrainState, batch, grid,
+                         coarse_steps: int = 64):
+        """Cheap per-ray occupancy test (no field evals): does any coarse
+        sample along the ray land in an occupied cell of the test grid?
+        Used by render_frame to prune background rays — the static-shape
+        analog of the reference's alive-ray compaction. ~64 grid lookups
+        per ray ≈ 0.1 ms per 292k rays vs ~1 s to fully march them."""
+        rbatch = self._resolve_batch(state.params, batch)
+        dstate = self._prepare(state.deformer_cano, rbatch)
+        rays = Rays(o=rbatch["rays_o"], d=rbatch["rays_d"],
+                    near=rbatch["near"], far=rbatch["far"])
+        rays_s = self.deformer.transform_rays_w2s(dstate, rays)
+        aabb = grid.aabb
+        from ..render.raymarcher import ray_aabb, sample_z
+        near, far = ray_aabb(rays_s.o, rays_s.d, aabb[0], aabb[1])
+        near = jnp.clip(near, rays_s.near, rays_s.far)
+        far = jnp.clip(far, near, rays_s.far)
+        z, _ = sample_z(near, far, coarse_steps, None)
+        pts = rays_s.o[:, None] + z[..., None] * rays_s.d[:, None]
+        occ = occupancy_lookup(grid, pts.reshape(-1, 3)).reshape(z.shape)
+        return (occ & (z < far[..., None])).any(axis=-1)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _render_chunks(self, state: TrainState, chunked, grid):
+        """Render (n_chunks, chunk, ...) ray bundles in ONE dispatch —
+        a lax.map over chunks inside jit. Per-dispatch latency through
+        remote TPU links is ~tens of ms (PERF.md), so the per-frame loop
+        must not dispatch per chunk."""
+        rbatch = self._resolve_batch(state.params, chunked["frame"])
+        dstate = self._prepare(state.deformer_cano, rbatch)
+        field_params = state.params["field"] \
+            if isinstance(state.params, dict) else state.params
+
+        def one(rays):
+            sub = dict(rbatch)
+            sub.update(rays)
+            out = self.render(field_params, state.center, state.scale, sub,
+                              cano=state.deformer_cano, dstate=dstate,
+                              grid=grid, key=None, noise_std=0.0,
+                              eval_mode=True, bg_color=rays.get("bg_color"))
+            out.pop("weights", None)
+            return out
+
+        return jax.lax.map(one, chunked["rays"])
 
     def render_frame(self, state: TrainState, batch,
-                     chunk: int = 32768) -> dict[str, jax.Array]:
-        """Full-frame inference: build the test grid once, then render the
-        pixel rays in fixed-size chunks (render_image_fast analog,
-        DNeRF.py:72-97)."""
+                     chunk: int = 32768,
+                     prune_rays: bool = True,
+                     grid: DensityGridState | None = None
+                     ) -> dict[str, jax.Array]:
+        """Full-frame inference: build the test grid once, prune rays that
+        cannot hit the body (host-side dynamic selection — free outside
+        jit), then render the surviving rays in fixed-size chunks
+        (render_image_fast analog, DNeRF.py:72-97)."""
         import numpy as np
-        grid = self.build_test_grid(state, batch)
+        if grid is None:
+            grid = self.build_test_grid(state, batch)
         n = batch["rays_o"].shape[0]
-        outs = []
-        for i in range(0, n, chunk):
-            sl = slice(i, min(i + chunk, n))
-            sub = dict(batch)
-            for k in ("rays_o", "rays_d", "near", "far", "rgb", "alpha",
-                      "bg_color"):
-                if k in sub and hasattr(sub[k], "shape") \
-                        and sub[k].shape[:1] == (n,):
-                    sub[k] = sub[k][sl]
-            pad = chunk - (sl.stop - sl.start)
-            if pad:
-                for k in ("rays_o", "rays_d", "near", "far", "bg_color"):
-                    if k in sub and hasattr(sub[k], "shape") \
-                            and sub[k].shape[:1] == (sl.stop - sl.start,):
-                        sub[k] = jnp.concatenate(
-                            [sub[k], jnp.repeat(sub[k][-1:], pad, axis=0)])
-            out = self.eval_rays(state, sub, grid)
-            outs.append({k: np.asarray(v)[:chunk - pad if pad else chunk]
-                         for k, v in out.items() if k != "weights"})
-        return {k: np.concatenate([o[k] for o in outs], axis=0)
-                for k in outs[0]}
+
+        if prune_rays:
+            hit = np.asarray(self._ray_hit_prepass(state, batch, grid))
+            sel = np.nonzero(hit)[0]
+        else:
+            sel = np.arange(n)
+
+        bg = batch.get("bg_color")
+        out_full = {
+            "rgb": (np.asarray(bg, np.float32).reshape(n, 3).copy()
+                    if bg is not None else np.ones((n, 3), np.float32)),
+            "depth": np.zeros((n,), np.float32),
+            "alpha": np.zeros((n,), np.float32),
+            "counter": np.zeros((n,), np.int32),
+        }
+        if len(sel) == 0:
+            return out_full
+
+        per_ray = ("rays_o", "rays_d", "near", "far", "rgb", "alpha",
+                   "bg_color")
+        sel_batch = dict(batch)
+        for k in per_ray:
+            if k in sel_batch and hasattr(sel_batch[k], "shape") \
+                    and sel_batch[k].shape[:1] == (n,):
+                sel_batch[k] = np.asarray(sel_batch[k])[sel]
+
+        m = len(sel)
+        # pad the surviving-ray count to a whole number of chunks, rounded
+        # up to a power of two of chunks to bound jit retraces across frames
+        n_chunks = max(1, -(-m // chunk))
+        n_chunks = 1 << (n_chunks - 1).bit_length()
+        total = n_chunks * chunk
+        rays = {}
+        for k in per_ray:
+            v = sel_batch.get(k)
+            if v is not None and hasattr(v, "shape") and v.shape[:1] == (m,):
+                v = np.asarray(v)
+                v = np.concatenate(
+                    [v, np.repeat(v[-1:], total - m, axis=0)]) \
+                    if total > m else v[:total]
+                rays[k] = jnp.asarray(
+                    v.reshape(n_chunks, chunk, *v.shape[1:]))
+        frame = {k: jnp.asarray(v) if hasattr(v, "shape") else v
+                 for k, v in batch.items() if k not in per_ray}
+        out = self._render_chunks(state, {"frame": frame, "rays": rays},
+                                  grid)
+        merged = {k: np.asarray(v).reshape(total, *v.shape[2:])[:m]
+                  for k, v in out.items()}
+        for k in out_full:
+            out_full[k][sel] = merged[k]
+        return out_full

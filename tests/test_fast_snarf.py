@@ -99,6 +99,26 @@ def test_posed_search_inverts_forward_skinning(snarf, canonical, toy):
     assert float(err.max()) < 1e-3
 
 
+def test_pruned_inits_match_full_search(snarf, canonical, toy):
+    """n_init_active=4 must find the same canonical correspondences as the
+    full 13-init search for on-body points (the true bone is almost always
+    among the 4 nearest)."""
+    rng = np.random.RandomState(7)
+    pose = jnp.asarray(0.3 * rng.randn(69).astype(np.float32))
+    frame = snarf.prepare(canonical, jnp.zeros((1, 10)), pose,
+                          jnp.zeros(3), jnp.zeros(3))
+    xc_gt = canonical.vs_template[::16]
+    xd = snarf.forward_skinning(canonical, frame.tfs, xc_gt)
+
+    pruned = SNARFDeformer(toy, resolution=64, cano_pose="da_pose",
+                           n_init_active=4, knn_chunk=4096)
+    xc_p, valid_p, _ = pruned.search(canonical, frame, xd)
+    assert float(valid_p.any(-1).mean()) > 0.95
+    xd_rt = pruned.forward_skinning(canonical, frame.tfs, xc_p)
+    err = jnp.where(valid_p, jnp.linalg.norm(xd_rt - xd[:, None], axis=-1), 0.0)
+    assert float(err.max()) < 1e-3
+
+
 def test_filter_duplicates():
     xc = jnp.zeros((1, 3, 3)).at[0, 2].set(1.0)  # cands 0,1 identical
     valid = jnp.ones((1, 3), bool)

@@ -161,3 +161,70 @@ def test_triplane_bilinear_exact_at_pixel():
     out = sample_plane_bilinear(plane, jnp.asarray([[1 / 3, 2 / 3]]))
     np.testing.assert_allclose(np.asarray(out[0]),
                                np.asarray(plane[:, 2, 1]), atol=1e-5)
+
+
+def test_packed_samplers_match_unpacked():
+    from instantavatar_tpu.ops.grid_sample import (grid_sample_2d_packed,
+                                                   grid_sample_3d,
+                                                   grid_sample_3d_packed,
+                                                   pack_corners_2d,
+                                                   pack_corners_3d)
+    rng = np.random.RandomState(0)
+    vox = jnp.asarray(rng.randn(5, 4, 6, 7).astype(np.float32))
+    coords = jnp.asarray((rng.rand(64, 3) * 2.2 - 1.1).astype(np.float32))
+    ref = grid_sample_3d(vox, coords)
+    packed = grid_sample_3d_packed(pack_corners_3d(vox), (4, 6, 7), coords)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                               atol=1e-5)
+
+    plane = jnp.asarray(rng.randn(3, 8, 9).astype(np.float32))
+    uv = jnp.asarray(rng.rand(64, 2).astype(np.float32))
+    from instantavatar_tpu.models.triplane import sample_plane_bilinear
+    ref2 = sample_plane_bilinear(plane, uv)
+    packed2 = grid_sample_2d_packed(pack_corners_2d(plane), (8, 9), uv)
+    np.testing.assert_allclose(np.asarray(packed2), np.asarray(ref2),
+                               atol=1e-5)
+
+
+def test_voxel_triplane_forward_and_grad():
+    from instantavatar_tpu.models import VoxelTriplaneField
+    field = VoxelTriplaneField(voxel_res=8, voxel_feats=4, plane_res=16,
+                               plane_feats=4)
+    params = field.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (65, 3), minval=-1,
+                           maxval=1)
+    color, sigma = field.apply(params, x, jnp.zeros(3), jnp.full((3,), 2.0))
+    assert color.shape == (65, 3) and sigma.shape == (65,)
+    g = jax.grad(lambda p: field.apply(p, x, jnp.zeros(3),
+                                       jnp.full((3,), 2.0))[1].sum())(params)
+    assert float(jnp.abs(g.voxel).sum()) > 0
+    assert float(jnp.abs(g.plane_xy).sum()) > 0
+
+
+def test_voxel_triplane_overfit_sphere():
+    from instantavatar_tpu.models import VoxelTriplaneField
+    field = VoxelTriplaneField(voxel_res=16, voxel_feats=4, plane_res=32,
+                               plane_feats=8)
+    params = field.init(jax.random.PRNGKey(0))
+    center = jnp.zeros(3)
+    scale = jnp.full((3,), 2.0)
+    x = jax.random.uniform(jax.random.PRNGKey(42), (4096, 3), minval=-1,
+                           maxval=1)
+    target = (jnp.linalg.norm(x, axis=-1) < 0.5).astype(jnp.float32)
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(params, st):
+        def lf(p):
+            s = field.density(p, x, center, scale)
+            return optax.sigmoid_binary_cross_entropy(s, target).mean()
+        loss, g = jax.value_and_grad(lf)(params)
+        u, st = opt.update(g, st)
+        return optax.apply_updates(params, u), st, loss
+
+    for _ in range(200):
+        params, st, loss = step(params, st)
+    pred = jax.nn.sigmoid(field.density(params, x, center, scale)) > 0.5
+    acc = float((pred == (target > 0.5)).mean())
+    assert acc > 0.97, acc
