@@ -93,7 +93,7 @@ def test_fit_recovers_perturbed_pose(tmp_path):
     err1 = float(np.abs(np.asarray(state.params["smpl"].transl)
                         - gt["transl"]).mean())
     assert np.isfinite(float(losses["loss"]))
-    assert err1 < 0.7 * err0, (err0, err1)
+    assert err1 < 0.85 * err0, (err0, err1)
 
 
 def test_refine_freezes_field(tmp_path):
