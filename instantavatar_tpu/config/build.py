@@ -1,0 +1,143 @@
+"""Config -> objects builder.
+
+The reference wires everything through ``hydra.utils.instantiate`` with
+``_target_`` nodes (train.py:27-28). We keep the exact conf-tree surface
+(same groups, keys and interpolations — SURVEY §7.1.5) and assemble the
+TPU-native objects here: body model, canonical field, deformer, renderer
+settings, losses, grouped optimizer, datamodule and trainer.
+"""
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+
+from .engine import Config, instantiate
+
+__all__ = ["build_body_model", "build_field", "build_deformer",
+           "build_avatar", "build_datamodule", "build_trainer"]
+
+
+def build_body_model(deformer_cfg: Any):
+    """SMPL body model from the deformer conf (model_path + gender).
+    Falls back to the deterministic toy body when the license-gated
+    SMPL pkl is absent (keeps demos/tests hermetic)."""
+    from ..body import load_smpl_model, toy_smpl_model
+    path = deformer_cfg.get("model_path", "")
+    gender = deformer_cfg.get("gender", "neutral")
+    try:
+        return load_smpl_model(path, gender)
+    except (FileNotFoundError, OSError, KeyError):
+        warnings.warn(
+            f"SMPL model not found under {path!r} (gender={gender}); "
+            "falling back to the synthetic toy body. Download SMPL pkls "
+            "for real data.", stacklevel=2)
+        return toy_smpl_model()
+
+
+def build_field(network_cfg: Any):
+    from ..models import (NGPField, TriPlaneField, VanillaNeRF,
+                          VoxelTriplaneField)
+    target = network_cfg.get("_target_", "")
+    name = target.rsplit(".", 1)[-1].lower()
+    opt = network_cfg.get("opt", {}) or {}
+    if "voxeltriplane" in name or "voxel_triplane" in target:
+        kw = {k: opt[k] for k in ("voxel_res", "voxel_feats", "plane_res",
+                                  "plane_feats") if k in opt}
+        return VoxelTriplaneField(**kw)
+    if "triplane" in target:
+        return TriPlaneField()
+    if "mlp" in target or "nerfnet" in name:
+        return VanillaNeRF(use_viewdir=bool(opt.get("use_viewdir", False)))
+    return NGPField()
+
+
+def build_deformer(deformer_cfg: Any, body_model, renderer_cfg: Any = None):
+    from ..deformers import SMPLDeformer, SNARFDeformer
+    target = deformer_cfg.get("_target_", "")
+    if "smpl_deformer" in target.lower() \
+            or target.rsplit(".", 1)[-1] == "SMPLDeformer":
+        return SMPLDeformer(body_model,
+                            threshold=deformer_cfg.get("threshold", 0.05))
+    opt = deformer_cfg.get("opt", {}) or {}
+    return SNARFDeformer(
+        body_model,
+        resolution=int(opt.get("resolution", 128)),
+        cano_pose=str(opt.get("cano_pose", "a_pose")).lower(),
+        version=int(opt.get("version", 1)),
+        n_init_active=opt.get("n_init_active"),
+        cand_cap=int(opt.get("cand_cap", 4)))
+
+
+def build_datamodule(cfg: Any):
+    from ..data import AvatarDataModule
+    node = cfg.dataset
+    if "opt" in node:
+        opt = node.opt
+    else:
+        opt = node
+    return AvatarDataModule(opt)
+
+
+def build_avatar(cfg: Any, steps_per_epoch: int = 100):
+    """Assemble the AvatarModel from a composed config."""
+    from ..train import AvatarModel
+    from ..train.optim import make_optimizer
+
+    mopt = cfg.model.opt
+    body = build_body_model(cfg.deformer)
+    field = build_field(cfg.network)
+    deformer = build_deformer(cfg.deformer, body)
+
+    ropt = cfg.get("renderer", {}) or {}
+    n_steps = int(ropt.get("MAX_SAMPLES", ropt.get("n_steps", 256)))
+    k_cap = ropt.get("k_cap")
+    if k_cap is None:
+        # the reference caps samples/iteration at MAX_BATCH_SIZE; our
+        # static analog caps evaluated samples per ray
+        k_cap = 64
+    opt_smpl = mopt.get("optimize_SMPL", {}) or {}
+    optimize_smpl = bool(opt_smpl.get("enable", False))
+    is_refine = bool(opt_smpl.get("is_refine", False))
+
+    loss_opt = (mopt.get("loss", {}) or {}).get("opt", {}) or {}
+    loss_weights = {k: float(v) for k, v in loss_opt.items()
+                    if k in ("w_rgb", "w_alpha", "w_reg")}
+
+    sched = mopt.get("scheduler", {}) or {}
+    optimizer = make_optimizer(
+        lr=float(mopt.get("optimizer", {}).get("lr", 1e-2)),
+        smpl_lr=float(opt_smpl.get("lr", 1e-4)) if optimize_smpl else None,
+        max_epochs=int(sched["max_epochs"]) if "max_epochs" in sched
+        else None,
+        steps_per_epoch=steps_per_epoch,
+        freeze_field=is_refine,
+        betas=tuple(mopt.get("optimizer", {}).get("betas", (0.9, 0.99))),
+        eps=float(mopt.get("optimizer", {}).get("eps", 1e-15)))
+
+    return AvatarModel(
+        body, field, deformer,
+        n_steps=n_steps,
+        k_cap=int(k_cap),
+        grid_size=int(ropt.get("grid_size", 64)),
+        optimize_smpl=optimize_smpl,
+        is_refine=is_refine,
+        loss_weights=loss_weights,
+        optimizer=optimizer)
+
+
+def build_trainer(cfg: Any, workdir: str | Path = "."):
+    """datamodule + avatar + Trainer from a composed config."""
+    from ..train.harness import Trainer
+    dm = build_datamodule(cfg)
+    steps = len(dm.trainset) if hasattr(dm, "trainset") else 100
+    avatar = build_avatar(cfg, steps_per_epoch=steps)
+    tr = cfg.get("train", {}) or {}
+    return Trainer(
+        avatar, dm, workdir=workdir,
+        max_epochs=int(tr.get("max_epochs", 30)),
+        check_val_every_n_epoch=int(tr.get("check_val_every_n_epoch", 10)),
+        resume=bool(cfg.get("resume", True)),
+        seed=int(cfg.get("seed", 42)))

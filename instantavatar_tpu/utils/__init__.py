@@ -1,0 +1,3 @@
+from .metrics import Evaluator, psnr, ssim
+
+__all__ = ["Evaluator", "psnr", "ssim"]

@@ -1,0 +1,84 @@
+"""Metric tests: PSNR exact, SSIM vs known values/properties, LPIPS
+architecture (random-trunk fallback), Evaluator surface (eval.py:14-33)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantavatar_tpu.utils.metrics import Evaluator, psnr, ssim
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 0.1)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_psnr_identical_is_large():
+    a = jnp.full((4, 4, 3), 0.5)
+    assert float(psnr(a, a)) > 100
+
+
+def test_ssim_identical_is_one():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+    np.testing.assert_allclose(float(ssim(img, img)), 1.0, atol=1e-5)
+
+
+def test_ssim_decreases_with_noise():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+    noisy1 = jnp.clip(img + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), img.shape), 0, 1)
+    noisy2 = jnp.clip(img + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(1), img.shape), 0, 1)
+    s1, s2 = float(ssim(img, noisy1)), float(ssim(img, noisy2))
+    assert 1.0 > s1 > s2 > 0.0
+
+
+def test_ssim_matches_torchmetrics():
+    """Golden check against torchmetrics' SSIM (the reference's metric)."""
+    try:
+        from torchmetrics import StructuralSimilarityIndexMeasure
+    except Exception:
+        import pytest
+        pytest.skip("torchmetrics unavailable")
+    import torch
+    rng = np.random.RandomState(0)
+    a = rng.rand(1, 3, 40, 40).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.randn(*a.shape).astype(np.float32), 0, 1)
+    ref = float(StructuralSimilarityIndexMeasure(data_range=1.0)(
+        torch.from_numpy(b), torch.from_numpy(a)))
+    ours = float(ssim(jnp.asarray(b.transpose(0, 2, 3, 1)),
+                      jnp.asarray(a.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_lpips_random_trunk():
+    from instantavatar_tpu.losses.lpips import load_lpips
+    lp = load_lpips("vgg", allow_random=True)
+    a = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    d_ab = float(lp(a, b)[0])
+    d_aa = float(lp(a, a)[0])
+    assert d_ab > d_aa >= 0.0
+    assert np.isfinite(d_ab)
+
+
+def test_lpips_alex_random_trunk():
+    from instantavatar_tpu.losses.lpips import load_lpips
+    lp = load_lpips("alex", allow_random=True)
+    a = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    d = float(lp(a, jnp.roll(a, 5, axis=1))[0])
+    assert np.isfinite(d) and d > 0
+
+
+def test_lpips_missing_weights_raises():
+    import pytest
+    from instantavatar_tpu.losses.lpips import load_lpips
+    with pytest.raises(FileNotFoundError):
+        load_lpips("vgg", weights_path=None, allow_random=False)
+
+
+def test_evaluator_surface():
+    ev = Evaluator(lpips_fn=None)
+    pred = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    out = ev(pred, pred)
+    assert out["psnr"] > 60 and abs(out["ssim"] - 1.0) < 1e-4

@@ -1,0 +1,141 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY §2.8/§4 —
+the TPU-native analog of multi-node tests without a cluster)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from instantavatar_tpu.body import toy_smpl_model
+from instantavatar_tpu.deformers import SMPLDeformer
+from instantavatar_tpu.models.ngp import NGPField
+from instantavatar_tpu.ops.hashgrid import HashGridConfig
+from instantavatar_tpu.parallel.data_parallel import (make_dp_train_step,
+                                                      make_mesh,
+                                                      make_multi_subject_step,
+                                                      shard_batch,
+                                                      stack_subjects)
+from instantavatar_tpu.train import AvatarModel
+
+
+def _tiny_avatar(toy):
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=10,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    return AvatarModel(toy, field,
+                       SMPLDeformer(toy, threshold=0.12, knn_chunk=512),
+                       n_steps=16, k_cap=None, grid_size=8,
+                       noise_steps=0, optimizer=optax.adam(1e-2))
+
+
+def _ray_batch(n_rays, seed=0):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n_rays, 3).astype(np.float32) * 0.05 + [0, 0, 1.0]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "rays_o": jnp.zeros((n_rays, 3)),
+        "rays_d": jnp.asarray(d),
+        "near": jnp.full((n_rays,), 2.0),
+        "far": jnp.full((n_rays,), 4.0),
+        "rgb": jnp.asarray(rng.rand(n_rays, 3).astype(np.float32)),
+        "alpha": jnp.asarray((rng.rand(n_rays) > 0.5).astype(np.float32)),
+        "bg_color": jnp.ones((n_rays, 3)),
+        "betas": jnp.zeros((10,)),
+        "body_pose": jnp.zeros((69,)),
+        "global_orient": jnp.zeros((3,)),
+        "transl": jnp.asarray([0.0, 0.0, 3.0]),
+        "idx": jnp.int32(0),
+    }
+
+
+@pytest.fixture(scope="module")
+def toy():
+    return toy_smpl_model()
+
+
+def test_mesh_shape():
+    mesh = make_mesh(n_ray=4, n_subject=2)
+    assert mesh.shape == {"subject": 2, "ray": 4}
+    assert jax.device_count() == 8  # conftest forces 8 virtual devices
+
+
+def test_dp_matches_single_chip(toy):
+    """Gradient pmean over ray shards must equal the single-chip gradient
+    on the full batch (same key => same stratified jitter pattern is NOT
+    guaranteed across layouts, so compare with noise-free deterministic
+    eval sampling via a fixed key per shard disabled: we check the
+    *loss* on identical params instead, then that a DP step changes
+    params identically when noise sources are removed)."""
+    avatar = _tiny_avatar(toy)
+    avatar.noise_steps = 0
+    batch = _ray_batch(64)
+    state = avatar.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+
+    # single chip
+    key = jax.random.PRNGKey(42)
+    grads_s, losses_s, _ = jax.jit(
+        lambda s, b, k: avatar.grads_and_losses(s, b, k, False))(
+        state, batch, key)
+
+    mesh = make_mesh(n_ray=8, n_subject=1)
+    with mesh:
+        sharded = shard_batch(mesh, batch)
+        step = make_dp_train_step(avatar, mesh, with_grid_update=False)
+        new_state, losses_dp = step(state, sharded, key)
+
+    # DP loss is the mean of shard losses; with uniform rays it must be
+    # close to the single-chip loss (jitter patterns differ per shard)
+    assert np.isfinite(float(losses_dp["loss"]))
+    assert abs(float(losses_dp["mse_loss"])
+               - float(losses_s["mse_loss"])) < 0.05
+    # params moved and are fully replicated
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     new_state.params, state.params))
+    assert delta > 0
+
+
+def test_dp_step_with_grid_update(toy):
+    avatar = _tiny_avatar(toy)
+    batch = _ray_batch(64)
+    state = avatar.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+    mesh = make_mesh(n_ray=8, n_subject=1)
+    with mesh:
+        sharded = shard_batch(mesh, batch)
+        step = make_dp_train_step(avatar, mesh, with_grid_update=True)
+        new_state, losses = step(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["loss"]))
+    # occupancy grid updated consistently (bool after pmean-vote)
+    assert new_state.grid.occupancy.dtype == jnp.bool_
+
+
+def test_multi_subject_independence(toy):
+    """S subjects trained in one vmapped step must evolve identically to
+    S separate single-subject steps (no cross-subject leakage)."""
+    avatar = _tiny_avatar(toy)
+    n_sub = 4
+    states = [avatar.init(jax.random.PRNGKey(i), jnp.zeros((1, 10)))
+              for i in range(n_sub)]
+    batches = [_ray_batch(32, seed=i) for i in range(n_sub)]
+    keys = [jax.random.PRNGKey(100 + i) for i in range(n_sub)]
+
+    # reference: independent single-subject steps
+    singles = []
+    for st, b, k in zip(states, batches, keys):
+        new_st, _ = avatar.train_step(st, b, k)
+        singles.append(new_st)
+
+    mesh = make_mesh(n_ray=2, n_subject=4)
+    stacked = stack_subjects(states)
+    sbatches = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    skeys = jnp.stack(keys)
+    with mesh:
+        mstep = make_multi_subject_step(avatar, mesh)
+        new_states, mlosses = mstep(stacked, sbatches, skeys)
+
+    for i in range(n_sub):
+        a = jax.tree.map(lambda x: np.asarray(x)[i], new_states.params)
+        b = singles[i].params
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(la, np.asarray(lb), atol=2e-5)
