@@ -232,3 +232,17 @@ class AvatarDataModule:
         ds = getattr(self, f"{split}set")
         for i in range(len(ds)):
             yield ds[i]
+
+
+class MocapDataset(AvatarDataset):
+    """Synthetic-mocap (SURREAL-style) variant — capability parity with
+    /root/reference/instant_avatar/datasets/surreal.py. The reference's
+    inline 60/30/10 mask/edge/random ray sampling (surreal.py:103-133) is
+    exactly an EdgeSampler with those ratios, so this subclass defaults to
+    one when no sampler is given."""
+
+    def __init__(self, root, split, *, num_samples: int = 4096, **kw):
+        if kw.get("sampler") is None and split == "train":
+            kw["sampler"] = EdgeSampler(num_samples, ratio_mask=0.6,
+                                        ratio_edge=0.3, kernel_size=32)
+        super().__init__(root, split, **kw)

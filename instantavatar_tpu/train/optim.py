@@ -34,9 +34,14 @@ def make_optimizer(lr: float = 1e-2,
                    steps_per_epoch: int = 100,
                    freeze_field: bool = False,
                    betas: tuple[float, float] = (0.9, 0.99),
-                   eps: float = 1e-15) -> optax.GradientTransformation:
+                   eps: float = 1e-15,
+                   skip_nonfinite: int = 10) -> optax.GradientTransformation:
     """Build the grouped optimizer over params pytrees shaped
-    ``{"field": ..., "smpl": SMPLParams | ()}``."""
+    ``{"field": ..., "smpl": SMPLParams | ()}``.
+
+    ``skip_nonfinite``: updates with non-finite grads are skipped in-graph
+    (optax.apply_if_finite) — the functional analog of the reference's
+    try/except around optimizer.step (DNeRF.py:155-161)."""
     if max_epochs is not None:
         field_lr = poly_decay_schedule(lr, max_epochs, steps_per_epoch)
     else:
@@ -51,5 +56,8 @@ def make_optimizer(lr: float = 1e-2,
     def label_fn(params: dict[str, Any]):
         return {k: k for k in params}
 
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {"field": field_opt, "smpl": smpl_opt}, label_fn)
+    if skip_nonfinite:
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=skip_nonfinite)
+    return opt
