@@ -44,8 +44,8 @@ def main() -> None:
     avatar = AvatarModel(
         body, VoxelTriplaneField(),
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
-                      n_iters=6, cand_cap=4, n_init_active=4),
-        n_steps=256, k_cap=16, grid_size=64)
+                      n_iters=6, cand_cap=2, n_init_active=4),
+        n_steps=128, k_cap=8, grid_size=64)
 
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
 

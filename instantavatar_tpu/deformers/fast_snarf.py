@@ -272,53 +272,126 @@ class SNARFDeformer:
         N = xd.shape[0]
 
         bones = jnp.asarray(self.init_bones)
-        Rb = tfs[bones][:, :3, :3]                     # (I, 3, 3)
-        tb = tfs[bones][:, :3, 3]                      # (I, 3)
-        # init: inverse rigid transform of the anchor bone
-        # (xd - t) @ R == R^T (xd - t), matching the CUDA init
-        x0 = jnp.einsum("nic,icr->nir", xd[:, None] - tb[None], Rb)
+        Rb_all = tfs[bones][:, :3, :3]                 # (I, 3, 3)
+        tb_all = tfs[bones][:, :3, 3]                  # (I, 3)
 
-        J, t = self._sample_J(canonical, frame, x0)    # (N, I, 3, 3), (N,I,3)
-        J_inv = jnp.swapaxes(J, -1, -2)
-        g = jnp.einsum("nirc,nic->nir", J, x0) + t - xd[:, None]
+        A = self.n_init_active
+        if A is not None and A < I:
+            # per-sample init pruning: keep the A nearest posed init bones.
+            # Sort-free: A rounds of masked argmin (PERF.md).
+            jc = canonical.joints_cano[bones]          # (I, 3)
+            posed_j = jnp.einsum("irc,ic->ir", Rb_all, jc) + tb_all
+            d2 = jnp.sum((xd[:, None] - posed_j[None]) ** 2, -1)  # (N, I)
+            sel = []
+            dcur = d2
+            for _ in range(A):
+                m = dcur.min(axis=-1, keepdims=True)
+                is_min = dcur == m
+                first = is_min & (jnp.cumsum(is_min, axis=-1) == 1)
+                sel.append(first)
+                dcur = jnp.where(first, jnp.inf, dcur)
+            onehot = jnp.stack(sel, axis=1).astype(jnp.float32)  # (N, A, I)
+            Rb = jnp.einsum("nai,irc->narc", onehot, Rb_all)
+            tb = jnp.einsum("nai,ir->nar", onehot, tb_all)
+            x0 = jnp.einsum("nac,nacr->nar", xd[:, None] - tb, Rb)
+            I = A
+        else:
+            # init: inverse rigid transform of the anchor bone
+            # (xd - t) @ R == R^T (xd - t), matching the CUDA init
+            x0 = jnp.einsum("nic,icr->nir", xd[:, None] - tb_all[None],
+                            Rb_all)
 
-        done = jnp.zeros((N, I), bool)
-        valid = jnp.zeros((N, I), bool)
+        # ---- lane-efficient scalar-unrolled Broyden (PERF.md) -----------
+        # Arrays shaped (N, I, 3, 3) put only 3 of 128 vector lanes to
+        # work; the loop below keeps every quantity as flat (N*I,)
+        # component vectors (exactly like the CUDA kernel's registers,
+        # fuse_cuda_kernel_fast.cu:287-415), which measured ~4x faster.
+        M = N * I
+        packed = frame.voxel_J_packed
+        D, H, W = self.vox_shape
+        off = canonical.offset
+        isc = canonical.inv_scale
+
+        def sample12(x0c, x1c, x2c):
+            """Trilerp voxel_J at flat component coords -> (12 x (M,),
+            in_bounds (M,))."""
+            nx = (x0c - off[0]) * isc[0]
+            ny = (x1c - off[1]) * isc[1]
+            nz = (x2c - off[2]) * isc[2]
+            in_b = (jnp.abs(nx) <= 1.0) & (jnp.abs(ny) <= 1.0) \
+                & (jnp.abs(nz) <= 1.0)
+            fx = jnp.clip((nx + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+            fy = jnp.clip((ny + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+            fz = jnp.clip((nz + 1.0) * 0.5 * (D - 1), 0.0, D - 1.0)
+            ix = jnp.minimum(fx.astype(jnp.int32), W - 2)
+            iy = jnp.minimum(fy.astype(jnp.int32), H - 2)
+            iz = jnp.minimum(fz.astype(jnp.int32), D - 2)
+            tx, ty, tz = fx - ix, fy - iy, fz - iz
+            rows = jnp.take(packed, (iz * H + iy) * W + ix, axis=0)
+            w = []
+            for k in range(8):
+                dz, dy, dx = k >> 2 & 1, k >> 1 & 1, k & 1
+                w.append((tz if dz else 1 - tz) * (ty if dy else 1 - ty)
+                         * (tx if dx else 1 - tx))
+            # one pass over the 96-wide rows, then one transpose so the
+            # Broyden math reads contiguous (M,) component vectors
+            J12 = jnp.einsum("mkc,mk->mc", rows.reshape(-1, 8, 12),
+                             jnp.stack(w, axis=-1))
+            J12t = J12.T                                  # (12, M)
+            return [J12t[c] for c in range(12)], in_b
+
+        xx = [x0[..., c].reshape(M) for c in range(3)]
+        xdt = [jnp.broadcast_to(xd[:, None, c], (N, I)).reshape(M)
+               for c in range(3)]
+
+        J, _ = sample12(*xx)
+        # J layout: row r = J[4r:4r+3], translation J[4r+3]
+        Ji = [J[4 * (c % 3) + c // 3] for c in range(9)]  # transpose init
+        g = [J[4 * r] * xx[0] + J[4 * r + 1] * xx[1] + J[4 * r + 2] * xx[2]
+             + J[4 * r + 3] - xdt[r] for r in range(3)]
+
+        done = jnp.zeros((M,), bool)
+        valid = jnp.zeros((M,), bool)
 
         def body(_, carry):
-            x, g, J_inv, done, valid = carry
-            u = -jnp.einsum("nirc,nic->nir", J_inv, g)
-            x_new = jnp.where(done[..., None], x, x + u)
-            n_new = self.normalize(canonical, x_new)
-            J, t = self._sample_J(canonical, frame, x_new)
-            g_new = (jnp.einsum("nirc,nic->nir", J, x_new) + t
-                     - xd[:, None])
-            norm_sq = jnp.sum(g_new * g_new, axis=-1)
+            xx, g, Ji, done, valid = carry
+            u = [-(Ji[3 * r] * g[0] + Ji[3 * r + 1] * g[1]
+                   + Ji[3 * r + 2] * g[2]) for r in range(3)]
+            xn = [jnp.where(done, xx[r], xx[r] + u[r]) for r in range(3)]
+            J, in_b = sample12(*xn)
+            gn = [J[4 * r] * xn[0] + J[4 * r + 1] * xn[1]
+                  + J[4 * r + 2] * xn[2] + J[4 * r + 3] - xdt[r]
+                  for r in range(3)]
+            norm_sq = gn[0] * gn[0] + gn[1] * gn[1] + gn[2] * gn[2]
             conv = norm_sq < self.cvg ** 2
             div = norm_sq > self.dvg ** 2
-            in_bounds = jnp.all(jnp.abs(n_new) <= 1.0, axis=-1)
-
             newly_conv = conv & ~done
             newly_div = div & ~conv & ~done
-            valid = valid | (newly_conv & in_bounds)
+            valid = valid | (newly_conv & in_b)
 
-            # Broyden rank-1 (fuse_J_inv_update): c = J_inv^T dx;
-            # J_inv += outer(dx - J_inv dg, c) / (c . dg)
-            dg = g_new - g
-            c = jnp.einsum("nicr,nic->nir", J_inv, u)   # J_inv^T u
-            s = jnp.sum(c * dg, axis=-1, keepdims=True)[..., None]
-            r = -jnp.einsum("nirc,nic->nir", J_inv, dg)
-            upd = (r + u)[..., :, None] * c[..., None, :] / \
-                jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+            # Broyden rank-1 (fuse_J_inv_update): c = J_inv^T u;
+            # J_inv += outer(u - J_inv dg, c) / (c . dg)
+            dg = [gn[r] - g[r] for r in range(3)]
+            cvec = [Ji[r] * u[0] + Ji[3 + r] * u[1] + Ji[6 + r] * u[2]
+                    for r in range(3)]
+            s = cvec[0] * dg[0] + cvec[1] * dg[1] + cvec[2] * dg[2]
+            s = jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+            rr = [-(Ji[3 * r] * dg[0] + Ji[3 * r + 1] * dg[1]
+                    + Ji[3 * r + 2] * dg[2]) for r in range(3)]
             active = ~(done | newly_conv | newly_div)
-            J_inv_new = jnp.where(active[..., None, None], J_inv + upd, J_inv)
-            g_keep = jnp.where(done[..., None], g, g_new)
+            scale_ = jnp.where(active, 1.0 / s, 0.0)
+            Ji_n = [Ji[3 * r + c] + cvec[c] * (rr[r] + u[r]) * scale_
+                    for r in range(3) for c in range(3)]
+            g_keep = [jnp.where(done, g[r], gn[r]) for r in range(3)]
             done = done | newly_conv | newly_div
-            return x_new, g_keep, J_inv_new, done, valid
+            return xn, g_keep, Ji_n, done, valid
 
-        x, g, J_inv, done, valid = jax.lax.fori_loop(
-            0, self.n_iters, body, (x0, g, J_inv, done, valid))
+        xx, g, Ji, done, valid = jax.lax.fori_loop(
+            0, self.n_iters, body, (xx, g, Ji, done, valid))
 
+        valid = valid.reshape(N, I)
+        x = jnp.stack(xx, axis=-1).reshape(N, I, 3)
+        J_inv = jnp.stack(Ji, axis=-1).reshape(N, I, 3, 3)
         xc = jnp.where(valid[..., None], x, 0.0)
         valid = self._filter_duplicates(xc, valid)
         return xc, valid, J_inv
