@@ -124,6 +124,7 @@ def build_avatar(cfg: Any, steps_per_epoch: int = 100):
         grid_size=int(ropt.get("grid_size", 64)),
         optimize_smpl=optimize_smpl,
         is_refine=is_refine,
+        smpl_init=bool(mopt.get("smpl_init", False)),
         loss_weights=loss_weights,
         optimizer=optimizer)
 

@@ -133,7 +133,8 @@ class Trainer:
 
         if state is None:
             smpl0 = None
-            if self.avatar.optimize_smpl:
+            if self.avatar.optimize_smpl or getattr(self.avatar,
+                                                    "smpl_init", False):
                 from .smpl_params import SMPLParams
                 smpl0 = SMPLParams.from_arrays(trainset.get_smpl_params())
             # jit the init: eager dispatch through remote-TPU links is

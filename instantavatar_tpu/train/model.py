@@ -65,6 +65,7 @@ class AvatarModel:
                  use_noise: bool = True,
                  optimize_smpl: bool = False,
                  is_refine: bool = False,
+                 smpl_init: bool = False,
                  loss_weights: dict[str, float] | None = None,
                  optimizer: optax.GradientTransformation | None = None):
         self.field = field or NGPField()
@@ -72,7 +73,11 @@ class AvatarModel:
         self.n_steps = n_steps
         self.k_cap = k_cap
         self.grid_size = grid_size
-        self.grid_update_interval = grid_update_interval
+        # smpl_init: per-frame grids seeded from the posed body, updated
+        # every step (reference demo flow: DNeRF.py:100, density_grid.py
+        # smpl_init branch)
+        self.smpl_init = smpl_init
+        self.grid_update_interval = 1 if smpl_init else grid_update_interval
         # refine mode disables sigma noise (DNeRF.py:65)
         self.noise_steps = noise_steps if (use_noise and not is_refine) else 0
         self.optimize_smpl = optimize_smpl
@@ -100,12 +105,56 @@ class AvatarModel:
         grid = make_grid_state(jnp.asarray(WORLD_AABB), self.grid_size)
         # before the first grid update, march everywhere inside the box
         grid = grid._replace(occupancy=jnp.ones_like(grid.occupancy))
+        if self.smpl_init:
+            if smpl_params is None:
+                raise ValueError("smpl_init=True needs smpl_params (all "
+                                 "frames' poses seed the per-frame grids)")
+            grid = self._smpl_init_grids(cano, smpl_params, grid)
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),
                           grid=grid,
                           deformer_cano=cano,
                           center=center, scale=scale,
                           step=jnp.int32(0))
+
+    def _smpl_init_grids(self, cano, smpl_params: SMPLParams,
+                         template: DensityGridState) -> DensityGridState:
+        """Per-frame occupancy grids seeded from the posed body: cells
+        within 2 cm of a body vertex (vertex-distance approximation of the
+        reference's kaolin point-to-mesh signed distance,
+        density_grid.py:53-75; at SMPL vertex density the difference is
+        below one cell). Stacked on a leading frame axis."""
+        G = self.grid_size
+        F = smpl_params.body_pose.shape[0]
+        aabb = template.aabb
+        idxs = (jnp.arange(G) + 0.5) / G
+        zz, yy, xx = jnp.meshgrid(idxs, idxs, idxs, indexing="ij")
+        cells = (jnp.stack([zz, yy, xx], -1).reshape(-1, 3)
+                 * (aabb[1] - aabb[0]) + aabb[0])
+
+        def one(args):
+            body_pose, global_orient, transl = args
+            frame = self.deformer.prepare_frame(
+                cano, smpl_params.betas, body_pose.reshape(1, -1),
+                global_orient.reshape(1, -1), transl.reshape(1, -1))
+            from ..ops.knn import knn_points
+            d2, _ = knn_points(cells, frame.verts_smpl, k=1, chunk=8192)
+            # threshold: the reference's 1 cm SD margin, widened to half a
+            # cell diagonal so coarse grids still catch the surface
+            thr = jnp.maximum(0.02,
+                              0.5 * jnp.linalg.norm((aabb[1] - aabb[0]) / G))
+            occ = (d2[:, 0] < thr ** 2).reshape(G, G, G)
+            # opacity cache seeding like the reference (-log(1-occ)*100)
+            cached = jnp.where(occ, 100.0 * 4.6, 0.0)
+            return cached, occ
+
+        cached, occ = jax.lax.map(
+            one, (smpl_params.body_pose, smpl_params.global_orient,
+                  smpl_params.transl))
+        return DensityGridState(
+            density_cached=cached,
+            occupancy=occ,
+            aabb=jnp.broadcast_to(aabb, (F, 2, 3)))
 
     # -- forward ----------------------------------------------------------
 
@@ -221,14 +270,27 @@ class AvatarModel:
             field_params = params["field"] if isinstance(params, dict) \
                 else params
             dstate = self._prepare(state.deformer_cano, rbatch)
-            new_grid = state.grid
+            if self.smpl_init:
+                # per-frame grid (stacked on the leading axis)
+                cur_grid = jax.tree.map(lambda x: x[rbatch["idx"]],
+                                        state.grid)
+            else:
+                cur_grid = state.grid
+            new_grid = cur_grid
             reg = 0.0
             if with_grid_update:
                 new_grid, density_norm, old_occ = update_grid(
-                    state.grid,
+                    cur_grid,
                     self._density_fn(field_params, state.center, state.scale,
                                      state.deformer_cano, dstate),
                     k_grid)
+                if self.smpl_init:
+                    # hold the body-seeded grid fixed for the first 500
+                    # steps (density_grid.py:52-75 initialized latch)
+                    new_grid = jax.tree.map(
+                        lambda new, old: jnp.where(state.step < 500, old,
+                                                   new),
+                        new_grid, cur_grid)
                 # first 500 steps: judge vs the fresh field (DNeRF.py:104-107)
                 valid = jnp.where(state.step < 500, new_grid.occupancy,
                                   old_occ)
@@ -252,6 +314,13 @@ class AvatarModel:
 
         (_, (losses, new_grid)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if self.smpl_init and with_grid_update:
+            # scatter the updated per-frame grid back into the stack
+            new_grid = jax.tree.map(
+                lambda stack, g: stack.at[batch["idx"]].set(g),
+                state.grid, new_grid)
+        elif self.smpl_init:
+            new_grid = state.grid
         return grads, losses, new_grid
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -286,6 +355,11 @@ class AvatarModel:
             self._density_fn(field_params, state.center, state.scale,
                              state.deformer_cano, dstate),
             jax.random.PRNGKey(0), self.grid_size)
+
+    def _frame_grid(self, state: TrainState, batch):
+        if self.smpl_init:
+            return jax.tree.map(lambda x: x[batch["idx"]], state.grid)
+        return state.grid
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_rays(self, state: TrainState, batch,

@@ -175,3 +175,47 @@ def test_e2e_render_eval(seq_dir, toy_model):
     iou_num = float(jnp.sum((out["alpha"] > 0.5) & (b["alpha"] > 0.5)))
     iou_den = float(jnp.sum((out["alpha"] > 0.5) | (b["alpha"] > 0.5)))
     assert iou_num / max(iou_den, 1.0) > 0.5
+
+
+def test_e2e_smpl_init_per_frame_grids(seq_dir, toy_model):
+    """demo-flow parity: per-frame body-seeded occupancy grids updated
+    every step (reference smpl_init branch)."""
+    from instantavatar_tpu.train.smpl_params import SMPLParams
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=10,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(toy_model, field,
+                         SMPLDeformer(toy_model, threshold=0.12,
+                                      knn_chunk=2048),
+                         n_steps=32, k_cap=8, grid_size=16,
+                         noise_steps=0, smpl_init=True,
+                         optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=2, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(9)))
+    smpl0 = SMPLParams.from_arrays(train.get_smpl_params())
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"],
+                        smpl0)
+    # stacked per-frame grids, body-seeded (some but not all cells on)
+    assert state.grid.occupancy.shape == (4, 16, 16, 16)
+    fracs = np.asarray(state.grid.occupancy.reshape(4, -1).mean(-1))
+    assert (fracs > 0).all() and (fracs < 0.5).all()
+    # grids differ across frames (different poses)
+    assert not np.array_equal(np.asarray(state.grid.occupancy[0]),
+                              np.asarray(state.grid.occupancy[3]))
+
+    key = jax.random.PRNGKey(21)
+    occ0 = np.asarray(state.grid.occupancy)
+    for i in range(6):
+        batch = {k: jnp.asarray(v) for k, v in train[i % len(train)].items()}
+        key, sub = jax.random.split(key)
+        state, losses = avatar.step(state, batch, sub)
+    assert np.isfinite(float(losses["loss"]))
+    # during the first 500 steps the seeded grids stay fixed
+    np.testing.assert_array_equal(np.asarray(state.grid.occupancy), occ0)
+    # eval picks the per-frame grid
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+    out = avatar.eval_rays(state, b, avatar._frame_grid(state, b))
+    assert np.isfinite(np.asarray(out["rgb"])).all()

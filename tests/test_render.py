@@ -154,3 +154,29 @@ def test_render_rays_grad_flows():
     g = jax.grad(render_loss)(jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(g)))
     assert abs(float(g[2])) > 1e-3  # moving the blob along z moves depth
+
+
+def test_volume_renderer_sphere():
+    """Coarse/fine hierarchical renderer reproduces the sphere scene (the
+    reference's vestigial VolumeRenderer math, volume_renderer.py)."""
+    from instantavatar_tpu.render.volume_renderer import (VolumeRenderer,
+                                                          importance_sampling)
+    vr = VolumeRenderer(n_coarse=32, n_fine=64)
+    o = jnp.asarray([[0., 0., -3.]])
+    d = jnp.asarray([[0., 0., 1.]])
+    rays = Rays(o=o, d=d, near=jnp.asarray([0.1]), far=jnp.asarray([6.0]))
+    out = vr(_sphere_field(), rays, bg_color=jnp.zeros(3))
+    np.testing.assert_allclose(float(out["depth"][0]), 2.5, atol=0.05)
+    assert float(out["alpha"][0]) > 0.99
+    # fine pass concentrates samples: fine depth at least as accurate
+    assert abs(float(out["depth"][0]) - 2.5) <= \
+        abs(float(out["depth_coarse"][0]) - 2.5) + 0.02
+
+
+def test_importance_sampling_concentrates():
+    from instantavatar_tpu.render.volume_renderer import importance_sampling
+    z = jnp.linspace(0.0, 1.0, 32)[None]
+    w = jnp.zeros((1, 32)).at[0, 16].set(1.0)  # all mass at z~0.516
+    zf = importance_sampling(z, w, 64, jax.random.PRNGKey(0))
+    assert abs(float(zf.mean()) - float(z[0, 16])) < 0.05
+    assert float(zf.std()) < 0.05
