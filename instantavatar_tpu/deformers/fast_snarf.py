@@ -396,6 +396,129 @@ class SNARFDeformer:
         valid = self._filter_duplicates(xc, valid)
         return xc, valid, J_inv
 
+    # -- inverse-warp cache (eval acceleration, PERF.md item 4) ------------
+
+    def bake_warp_cache(self, canonical: SnarfCanonical, frame: SnarfFrame,
+                        cells: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Run the full Broyden search once on posed-space cell centers.
+
+        Args:
+          cells: (C, 3) posed SMPL-space points (occupied-cell centers).
+        Returns:
+          xc (C, K, 3) canonical candidates, valid (C, K) — the per-frame
+          inverse-warp table. K = min(cand_cap, active inits).
+        """
+        xc, valid, _ = self.search(canonical, frame, cells)
+        K = min(self.cand_cap, xc.shape[1])
+        if K < xc.shape[1]:
+            from ..render.raymarcher import compact_samples
+            order, keep = compact_samples(valid, K)
+            xc = jnp.take_along_axis(xc, order[..., None].repeat(3, -1),
+                                     axis=1)
+            valid = keep
+        return xc, valid
+
+    def refine_from_cache(self, canonical: SnarfCanonical,
+                          frame: SnarfFrame, xd: jax.Array,
+                          xc0: jax.Array, valid0: jax.Array,
+                          n_refine: int = 1
+                          ) -> tuple[jax.Array, jax.Array]:
+        """Warm-started correction: one (or more) Newton-like steps from a
+        cached per-cell canonical candidate toward the exact
+        correspondence of the actual sample point xd.
+
+        Args:
+          xd: (M, 3) posed points; xc0/valid0: (M, K, 3)/(M, K) cached
+          candidates from the containing cell.
+        Returns refined (xc (M, K, 3), valid (M, K)).
+        """
+        M, K, _ = xc0.shape
+        flat = lambda a: a.reshape(M * K)
+        xx = [flat(xc0[..., c]) for c in range(3)]
+        xdt = [jnp.broadcast_to(xd[:, None, c], (M, K)).reshape(M * K)
+               for c in range(3)]
+
+        packed = frame.voxel_J_packed
+        D, H, W = self.vox_shape
+        off, isc = canonical.offset, canonical.inv_scale
+
+        def sample12(x0c, x1c, x2c):
+            nx = (x0c - off[0]) * isc[0]
+            ny = (x1c - off[1]) * isc[1]
+            nz = (x2c - off[2]) * isc[2]
+            in_b = (jnp.abs(nx) <= 1.0) & (jnp.abs(ny) <= 1.0) \
+                & (jnp.abs(nz) <= 1.0)
+            fx = jnp.clip((nx + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+            fy = jnp.clip((ny + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+            fz = jnp.clip((nz + 1.0) * 0.5 * (D - 1), 0.0, D - 1.0)
+            ix = jnp.minimum(fx.astype(jnp.int32), W - 2)
+            iy = jnp.minimum(fy.astype(jnp.int32), H - 2)
+            iz = jnp.minimum(fz.astype(jnp.int32), D - 2)
+            tx, ty, tz = fx - ix, fy - iy, fz - iz
+            rows = jnp.take(packed, (iz * H + iy) * W + ix, axis=0)
+            w = []
+            for k in range(8):
+                dz, dy, dx = k >> 2 & 1, k >> 1 & 1, k & 1
+                w.append((tz if dz else 1 - tz) * (ty if dy else 1 - ty)
+                         * (tx if dx else 1 - tx))
+            J12 = jnp.einsum("mkc,mk->mc", rows.reshape(-1, 8, 12),
+                             jnp.stack(w, axis=-1))
+            return [J12.T[c] for c in range(12)], in_b
+
+        in_b = None
+        for _ in range(n_refine):
+            J, in_b = sample12(*xx)
+            g = [J[4 * r] * xx[0] + J[4 * r + 1] * xx[1]
+                 + J[4 * r + 2] * xx[2] + J[4 * r + 3] - xdt[r]
+                 for r in range(3)]
+            # Newton step with J^T as the approximate inverse (the rigid-
+            # dominant skinning Jacobian is near-orthogonal)
+            u = [-(J[r] * g[0] + J[4 + r] * g[1] + J[8 + r] * g[2])
+                 for r in range(3)]
+            xx = [xx[r] + u[r] for r in range(3)]
+
+        xc = jnp.stack([x.reshape(M, K) for x in xx], axis=-1)
+        valid = valid0 & (in_b.reshape(M, K) if in_b is not None
+                          else jnp.ones((M, K), bool))
+        return xc, valid
+
+    def make_cached_field_fn(self, canonical: SnarfCanonical,
+                             frame: SnarfFrame, cache_xc: jax.Array,
+                             cache_valid: jax.Array, grid_aabb: jax.Array,
+                             net_apply, grid_size: int,
+                             n_refine: int = 1):
+        """Marcher closure using the baked inverse-warp table: per sample,
+        look up the containing cell's candidates and refine — 2-3 gather
+        rows per sample instead of a full 7-sample Broyden search."""
+        G = grid_size
+        K = cache_xc.shape[1]
+
+        def field_fn(pts):
+            rel = (pts - grid_aabb[0]) / (grid_aabb[1] - grid_aabb[0])
+            cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
+            flat_idx = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+            xc0 = jnp.take(cache_xc.reshape(G ** 3, K * 3), flat_idx,
+                           axis=0).reshape(-1, K, 3)
+            v0 = jnp.take(cache_valid.reshape(G ** 3, K), flat_idx, axis=0)
+            xc, valid = self.refine_from_cache(canonical, frame, pts,
+                                               xc0, v0, n_refine)
+            N = xc.shape[0]
+            rgb, sigma = net_apply(xc.reshape(N * K, 3))
+            rgb = rgb.reshape(N, K, 3)
+            sigma = sigma.reshape(N, K)
+            finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
+            ok = valid & finite
+            sigma = jnp.where(ok, sigma, -1e5)
+            best = jnp.argmax(sigma, axis=-1)
+            sigma_out = jnp.take_along_axis(sigma, best[:, None],
+                                            axis=1)[:, 0]
+            rgb_out = jnp.take_along_axis(
+                rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
+            any_ok = ok.any(axis=-1)
+            rgb_out = jnp.where(any_ok[:, None], rgb_out, 0.0)
+            return rgb_out, sigma_out, any_ok
+        return field_fn
+
     @staticmethod
     def _filter_duplicates(xc: jax.Array, valid: jax.Array,
                            eps: float = 1e-4) -> jax.Array:

@@ -66,6 +66,8 @@ class AvatarModel:
                  optimize_smpl: bool = False,
                  is_refine: bool = False,
                  smpl_init: bool = False,
+                 use_warp_cache: bool = True,
+                 warp_refine_iters: int = 1,
                  loss_weights: dict[str, float] | None = None,
                  optimizer: optax.GradientTransformation | None = None):
         self.field = field or NGPField()
@@ -78,6 +80,11 @@ class AvatarModel:
         # smpl_init branch)
         self.smpl_init = smpl_init
         self.grid_update_interval = 1 if smpl_init else grid_update_interval
+        # eval acceleration: per-frame inverse-warp bake on occupied cells
+        # (SNARF only; PERF.md item 4). Exactness is restored per sample by
+        # warp_refine_iters Newton steps from the cached candidate.
+        self.use_warp_cache = use_warp_cache
+        self.warp_refine_iters = warp_refine_iters
         # refine mode disables sigma noise (DNeRF.py:65)
         self.noise_steps = noise_steps if (use_noise and not is_refine) else 0
         self.optimize_smpl = optimize_smpl
@@ -397,6 +404,45 @@ class AvatarModel:
         return (occ & (z < far[..., None])).any(axis=-1)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def _bake_warp_cache(self, state: TrainState, batch, centers):
+        """Jitted per-frame inverse-warp bake over (padded) occupied-cell
+        centers."""
+        rbatch = self._resolve_batch(state.params, batch)
+        dstate = self._prepare(state.deformer_cano, rbatch)
+        return self.deformer.bake_warp_cache(state.deformer_cano, dstate,
+                                             centers)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _render_chunks_cached(self, state: TrainState, chunked, grid,
+                              cache_xc, cache_valid):
+        """Single-dispatch chunked render through the inverse-warp cache
+        (per-sample cost: 1 cell lookup + warp_refine_iters trilerp rows
+        instead of a full Broyden search)."""
+        rbatch = self._resolve_batch(state.params, chunked["frame"])
+        dstate = self._prepare(state.deformer_cano, rbatch)
+        field_params = state.params["field"] \
+            if isinstance(state.params, dict) else state.params
+        field_fn = self.deformer.make_cached_field_fn(
+            state.deformer_cano, dstate, cache_xc, cache_valid, grid.aabb,
+            self._net_apply(field_params, state.center, state.scale),
+            self.grid_size, self.warp_refine_iters)
+
+        def one(rays):
+            from ..render.raymarcher import render_rays
+            rays_s = self.deformer.transform_rays_w2s(
+                dstate, Rays(o=rays["rays_o"], d=rays["rays_d"],
+                             near=rays["near"], far=rays["far"]))
+            out = render_rays(
+                field_fn, rays_s,
+                occupancy_fn=lambda pts: occupancy_lookup(grid, pts),
+                aabb=grid.aabb, n_steps=self.n_steps, k_cap=self.k_cap,
+                key=None, noise_std=0.0, bg_color=rays.get("bg_color"))
+            return {"rgb": out.rgb, "depth": out.depth, "alpha": out.alpha,
+                    "counter": out.counter}
+
+        return jax.lax.map(one, chunked["rays"])
+
+    @functools.partial(jax.jit, static_argnums=0)
     def _render_chunks(self, state: TrainState, chunked, grid):
         """Render (n_chunks, chunk, ...) ray bundles in ONE dispatch —
         a lax.map over chunks inside jit. Per-dispatch latency through
@@ -476,8 +522,38 @@ class AvatarModel:
                     v.reshape(n_chunks, chunk, *v.shape[1:]))
         frame = {k: jnp.asarray(v) if hasattr(v, "shape") else v
                  for k, v in batch.items() if k not in per_ray}
-        out = self._render_chunks(state, {"frame": frame, "rays": rays},
-                                  grid)
+        use_cache = (self.use_warp_cache
+                     and hasattr(self.deformer, "bake_warp_cache"))
+        if use_cache:
+            G = self.grid_size
+            occ_flat = np.asarray(grid.occupancy).reshape(-1)
+            occ_idx = np.nonzero(occ_flat)[0]
+            if len(occ_idx) == 0:
+                occ_idx = np.array([0])
+            budget = 1 << (len(occ_idx) - 1).bit_length()
+            pad_idx = np.concatenate(
+                [occ_idx, np.repeat(occ_idx[:1], budget - len(occ_idx))])
+            i0 = pad_idx // (G * G)
+            i1 = (pad_idx // G) % G
+            i2 = pad_idx % G
+            aabb = np.asarray(grid.aabb)
+            span = aabb[1] - aabb[0]
+            centers = np.stack([
+                aabb[0][0] + (i0 + 0.5) / G * span[0],
+                aabb[0][1] + (i1 + 0.5) / G * span[1],
+                aabb[0][2] + (i2 + 0.5) / G * span[2]], axis=-1)
+            xc_c, valid_c = self._bake_warp_cache(
+                state, frame, jnp.asarray(centers, jnp.float32))
+            K = xc_c.shape[1]
+            cache_xc = jnp.zeros((G ** 3, K, 3)).at[pad_idx].set(xc_c)
+            cache_valid = jnp.zeros((G ** 3, K), bool).at[pad_idx] \
+                .set(valid_c)
+            out = self._render_chunks_cached(
+                state, {"frame": frame, "rays": rays}, grid,
+                cache_xc, cache_valid)
+        else:
+            out = self._render_chunks(state, {"frame": frame,
+                                              "rays": rays}, grid)
         merged = {k: np.asarray(v).reshape(total, *v.shape[2:])[:m]
                   for k, v in out.items()}
         for k in out_full:

@@ -179,3 +179,32 @@ def test_version2_gradients(toy, canonical):
 
     g = jax.grad(loss)(jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_warp_cache_matches_full_search(snarf, canonical):
+    """The inverse-warp cache + 1 Newton refinement must reproduce the
+    full per-sample Broyden correspondences for near-cell points."""
+    rng = np.random.RandomState(11)
+    pose = jnp.asarray(0.25 * rng.randn(69).astype(np.float32))
+    frame = snarf.prepare(canonical, jnp.zeros((1, 10)), pose,
+                          jnp.zeros(3), jnp.zeros(3))
+    # posed surface points as "cell centers", nearby jittered points as
+    # the actual samples
+    centers = snarf.forward_skinning(canonical, frame.tfs,
+                                     canonical.vs_template[::16])
+    samples = centers + 0.01 * rng.randn(*centers.shape).astype(np.float32)
+
+    cache_xc, cache_valid = snarf.bake_warp_cache(canonical, frame, centers)
+    xc_ref, valid_ref, _ = snarf.search(canonical, frame, samples)
+
+    xc_fast, valid_fast = snarf.refine_from_cache(
+        canonical, frame, samples, cache_xc, cache_valid, n_refine=1)
+
+    # compare best-candidate forward-skinned positions (both should land
+    # on the sample)
+    xd_fast = snarf.forward_skinning(canonical, frame.tfs, xc_fast)
+    err = jnp.where(valid_fast,
+                    jnp.linalg.norm(xd_fast - samples[:, None], axis=-1),
+                    0.0)
+    assert float(valid_fast.any(-1).mean()) > 0.9
+    assert float(err.max()) < 5e-3, float(err.max())
