@@ -90,7 +90,8 @@ def main() -> None:
     np.asarray(grid.occupancy)  # force
 
     def render_frame():
-        out = avatar.render_frame(state, batch, chunk=CHUNK, grid=grid)
+        out = avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
+                                  image_shape=(H, W))
         return out["rgb"][0, 0]  # numpy already — host-synced
 
     render_frame()  # compile + warm

@@ -344,33 +344,36 @@ class SNARFDeformer:
         xdt = [jnp.broadcast_to(xd[:, None, c], (N, I)).reshape(M)
                for c in range(3)]
 
-        J, _ = sample12(*xx)
-        # J layout: row r = J[4r:4r+3], translation J[4r+3]
-        Ji = [J[4 * (c % 3) + c // 3] for c in range(9)]  # transpose init
-        g = [J[4 * r] * xx[0] + J[4 * r + 1] * xx[1] + J[4 * r + 2] * xx[2]
-             + J[4 * r + 3] - xdt[r] for r in range(3)]
-
+        # first "iteration" (i=0) only samples J at x0, initializing
+        # J_inv := J^T and g — keeping the sample inside the loop avoids a
+        # duplicated, separately-materialized (M, 96) gather outside it
+        zero = jnp.zeros((M,))
+        Ji = [zero] * 9
+        g = [zero] * 3
         done = jnp.zeros((M,), bool)
         valid = jnp.zeros((M,), bool)
 
-        def body(_, carry):
+        def body(i, carry):
             xx, g, Ji, done, valid = carry
+            first = i == 0
+            live = jnp.where(first, 0.0, 1.0)
             u = [-(Ji[3 * r] * g[0] + Ji[3 * r + 1] * g[1]
-                   + Ji[3 * r + 2] * g[2]) for r in range(3)]
+                   + Ji[3 * r + 2] * g[2]) * live for r in range(3)]
             xn = [jnp.where(done, xx[r], xx[r] + u[r]) for r in range(3)]
             J, in_b = sample12(*xn)
             gn = [J[4 * r] * xn[0] + J[4 * r + 1] * xn[1]
                   + J[4 * r + 2] * xn[2] + J[4 * r + 3] - xdt[r]
                   for r in range(3)]
             norm_sq = gn[0] * gn[0] + gn[1] * gn[1] + gn[2] * gn[2]
-            conv = norm_sq < self.cvg ** 2
-            div = norm_sq > self.dvg ** 2
+            conv = (norm_sq < self.cvg ** 2) & ~first
+            div = (norm_sq > self.dvg ** 2) & ~first
             newly_conv = conv & ~done
             newly_div = div & ~conv & ~done
             valid = valid | (newly_conv & in_b)
 
             # Broyden rank-1 (fuse_J_inv_update): c = J_inv^T u;
-            # J_inv += outer(u - J_inv dg, c) / (c . dg)
+            # J_inv += outer(u - J_inv dg, c) / (c . dg);
+            # on the first pass, J_inv := J^T instead
             dg = [gn[r] - g[r] for r in range(3)]
             cvec = [Ji[r] * u[0] + Ji[3 + r] * u[1] + Ji[6 + r] * u[2]
                     for r in range(3)]
@@ -379,15 +382,17 @@ class SNARFDeformer:
             rr = [-(Ji[3 * r] * dg[0] + Ji[3 * r + 1] * dg[1]
                     + Ji[3 * r + 2] * dg[2]) for r in range(3)]
             active = ~(done | newly_conv | newly_div)
-            scale_ = jnp.where(active, 1.0 / s, 0.0)
-            Ji_n = [Ji[3 * r + c] + cvec[c] * (rr[r] + u[r]) * scale_
+            scale_ = jnp.where(active, 1.0 / s, 0.0) * live
+            Ji_n = [jnp.where(first, J[4 * c + r],
+                              Ji[3 * r + c] + cvec[c] * (rr[r] + u[r])
+                              * scale_)
                     for r in range(3) for c in range(3)]
             g_keep = [jnp.where(done, g[r], gn[r]) for r in range(3)]
             done = done | newly_conv | newly_div
             return xn, g_keep, Ji_n, done, valid
 
         xx, g, Ji, done, valid = jax.lax.fori_loop(
-            0, self.n_iters, body, (xx, g, Ji, done, valid))
+            0, self.n_iters + 1, body, (xx, g, Ji, done, valid))
 
         valid = valid.reshape(N, I)
         x = jnp.stack(xx, axis=-1).reshape(N, I, 3)

@@ -468,7 +468,8 @@ class AvatarModel:
     def render_frame(self, state: TrainState, batch,
                      chunk: int = 32768,
                      prune_rays: bool = True,
-                     grid: DensityGridState | None = None
+                     grid: DensityGridState | None = None,
+                     image_shape: tuple[int, int] | None = None
                      ) -> dict[str, jax.Array]:
         """Full-frame inference: build the test grid once, prune rays that
         cannot hit the body (host-side dynamic selection — free outside
