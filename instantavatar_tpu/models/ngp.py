@@ -23,7 +23,22 @@ import jax.numpy as jnp
 from ..ops.hashgrid import (HashGridConfig, hash_encode, init_hash_table,
                             level_resolutions)
 
-__all__ = ["NGPField", "NGPParams", "bbox_center_scale"]
+__all__ = ["NGPField", "NGPParams", "bbox_center_scale", "trunc_exp"]
+
+
+@jax.custom_jvp
+def trunc_exp(x):
+    """exp with clamped input and a matching clamped-gradient rule — the
+    sigma activation the reference defines (and leaves disabled) as
+    ``TruncExp`` (ngp.py:9-20, 58-59). Provided for the same optional use."""
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
+
+
+@trunc_exp.defjvp
+def _trunc_exp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.exp(jnp.clip(x, -15.0, 15.0))
+    return y, y * dx
 
 
 class NGPParams(NamedTuple):

@@ -317,6 +317,13 @@ class AvatarModel:
             losses["reg_occupancy"] = jnp.asarray(reg)
             losses["counter_avg"] = jnp.mean(
                 predicts["counter"].astype(jnp.float32))
+            # SMPL-param drift vs the dataset's initial estimate
+            # (DNeRF.py:117-119 logging)
+            if self.optimize_smpl and isinstance(params, dict) \
+                    and isinstance(params.get("smpl"), SMPLParams):
+                for k in ("global_orient", "body_pose", "transl"):
+                    losses[f"drift_{k}"] = jnp.mean(
+                        jnp.abs(rbatch[k] - batch[k]))
             return total, (losses, new_grid)
 
         (_, (losses, new_grid)), grads = jax.value_and_grad(

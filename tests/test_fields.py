@@ -228,3 +228,15 @@ def test_voxel_triplane_overfit_sphere():
     pred = jax.nn.sigmoid(field.density(params, x, center, scale)) > 0.5
     acc = float((pred == (target > 0.5)).mean())
     assert acc > 0.97, acc
+
+
+def test_trunc_exp():
+    from instantavatar_tpu.models.ngp import trunc_exp
+    x = jnp.asarray([-100.0, 0.0, 2.0, 100.0])
+    y = trunc_exp(x)
+    np.testing.assert_allclose(np.asarray(y[1:3]), [1.0, np.e ** 2],
+                               rtol=1e-5)
+    assert np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda v: trunc_exp(v).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(float(g[1]), 1.0, rtol=1e-5)
