@@ -178,10 +178,25 @@ class Trainer:
         return state
 
     def _prune_checkpoints(self, keep: int = 2):
+        """Keep the best-val-PSNR checkpoint plus the latest (the
+        reference's ModelCheckpoint save_top_k=1 + save_last,
+        train.py:16-22)."""
         cands = sorted(p for p in self.ckpt_dir.iterdir()
                        if p.is_dir() and p.name.startswith("step_"))
-        for p in cands[:-keep]:
-            shutil.rmtree(p)
+        if len(cands) <= keep:
+            return
+
+        def psnr_of(p):
+            mf = p / "metrics.json"
+            try:
+                return json.loads(mf.read_text()).get("psnr", -1e9)
+            except Exception:
+                return -1e9
+
+        keep_set = {cands[-1], max(cands, key=psnr_of)}
+        for p in cands:
+            if p not in keep_set:
+                shutil.rmtree(p)
 
     # -- validation -----------------------------------------------------------
 
