@@ -69,6 +69,7 @@ def get_predefined_rest_pose(cano_pose: str | tuple) -> jax.Array:
 class SnarfCanonical(NamedTuple):
     """Once-per-subject baked state (switch_to_explicit analog)."""
     lbs_voxel: jax.Array    # (24, D, H, W) smoothed skinning weights
+    lbs_packed: jax.Array   # (D*H*W, 192) corner-packed bf16 weights
     offset: jax.Array       # (3,) voxel-normalization offset
     inv_scale: jax.Array    # (3,) 1/scale with z-ratio folded in
     tfs_inv_t: jax.Array    # (24, 4, 4) inverse canonical bone transforms
@@ -192,6 +193,10 @@ class SNARFDeformer:
 
         return SnarfCanonical(
             lbs_voxel=vox,
+            # corner-packed bf16 copy: 1 gather row per weight query on
+            # the hot gradient path (weights are smooth in [0,1]; bf16's
+            # ~1e-3 error is far below the voxelization error)
+            lbs_packed=pack_corners_3d(vox).astype(jnp.bfloat16),
             offset=offset,
             inv_scale=inv_scale,
             tfs_inv_t=jnp.linalg.inv(rest.A[0]),
@@ -540,9 +545,11 @@ class SNARFDeformer:
 
     def query_weights(self, canonical: SnarfCanonical, xc: jax.Array
                       ) -> jax.Array:
-        """(..., 3) canonical pts -> (..., 24) trilerped LBS weights."""
-        return grid_sample_3d(canonical.lbs_voxel,
-                              self.normalize(canonical, xc))
+        """(..., 3) canonical pts -> (..., 24) trilerped LBS weights
+        (single corner-packed gather per point — PERF.md)."""
+        w = grid_sample_3d_packed(canonical.lbs_packed, self.vox_shape,
+                                  self.normalize(canonical, xc))
+        return w.astype(jnp.float32)
 
     def forward_skinning(self, canonical: SnarfCanonical, tfs: jax.Array,
                          xc: jax.Array) -> jax.Array:

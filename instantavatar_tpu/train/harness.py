@@ -153,20 +153,31 @@ class Trainer:
         t0 = time.time()
         for epoch in range(start_epoch, self.max_epochs):
             order = rng.permutation(steps_per_epoch)
-            for i in order:
-                batch = {k: jnp.asarray(v)
-                         for k, v in trainset[int(i)].items()}
-                key, sub = jax.random.split(key)
-                state, losses = self.avatar.step(state, batch, sub)
-                step = int(state.step)
-                if step % self.log_every == 0:
-                    scal = {k: float(v) for k, v in losses.items()
-                            if np.ndim(v) == 0}
-                    for k, v in scal.items():
-                        self.writer.add_scalar(f"train/{k}", v, step)
-                    print(f"[trainer] epoch {epoch} step {step} "
-                          f"loss={scal.get('loss', float('nan')):.4f} "
-                          f"({time.time() - t0:.0f}s)")
+            # host-side prefetch: decode/sample the next batch on a worker
+            # thread while the device runs the current step (the TPU
+            # analog of the reference's 8 dataloader workers,
+            # peoplesnapshot.py:164-171; cv2 releases the GIL)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                futures = [pool.submit(trainset.__getitem__, int(i))
+                           for i in order[:1]]
+                for n, i in enumerate(order):
+                    if n + 1 < len(order):
+                        futures.append(pool.submit(trainset.__getitem__,
+                                                   int(order[n + 1])))
+                    batch = {k: jnp.asarray(v)
+                             for k, v in futures.pop(0).result().items()}
+                    key, sub = jax.random.split(key)
+                    state, losses = self.avatar.step(state, batch, sub)
+                    step = int(state.step)
+                    if step % self.log_every == 0:
+                        scal = {k: float(v) for k, v in losses.items()
+                                if np.ndim(v) == 0}
+                        for k, v in scal.items():
+                            self.writer.add_scalar(f"train/{k}", v, step)
+                        print(f"[trainer] epoch {epoch} step {step} "
+                              f"loss={scal.get('loss', float('nan')):.4f} "
+                              f"({time.time() - t0:.0f}s)")
 
             if (epoch + 1) % self.check_val_every == 0 \
                     or epoch == self.max_epochs - 1:
