@@ -132,3 +132,36 @@ def test_cli_fit_exports_poses(pipeline_dirs, monkeypatch, tmp_path_factory):
     data = np.load(out)
     assert data["body_pose"].shape == (2, 69)
     assert data["transl"].shape == (2, 3)
+
+
+def test_cli_train_multi_subject(monkeypatch, tmp_path_factory):
+    """Multi-subject trainer: two synthetic subjects trained on the
+    subject-sharded mesh in one process; per-subject checkpoints out."""
+    from instantavatar_tpu.data import make_synthetic_sequence
+    root = tmp_path_factory.mktemp("multi")
+    for k, name in enumerate(("subj_a", "subj_b")):
+        make_synthetic_sequence(root / name, n_frames=2, H=32, W=32,
+                                seed=k)
+    run = root / "out"
+    _run_cli("train_multi", [
+        "--config-name", "SNARF_NGP",
+        "+subjects=subj_a,subj_b",
+        f"dataset.opt.dataroot={root}/${{dataset.subject}}",
+        f"run_dir={run}/${{dataset.subject}}",
+        "network=voxel_triplane",
+        "network.opt.voxel_res=8", "network.opt.voxel_feats=4",
+        "network.opt.plane_res=16", "network.opt.plane_feats=4",
+        "deformer.opt.resolution=32", "deformer.opt.cano_pose=da_pose",
+        "renderer.MAX_SAMPLES=32", "renderer.k_cap=8",
+        "renderer.grid_size=16",
+        "sampler.num_patch=2", "sampler.patch_size=8",
+        "dataset.opt.train.start=0", "dataset.opt.train.end=1",
+        "dataset.opt.train.skip=1", "dataset.opt.train.downscale=1",
+        "dataset.opt.val.start=0", "dataset.opt.val.end=0",
+        "dataset.opt.val.downscale=1",
+        "dataset.opt.test.start=0", "dataset.opt.test.end=1",
+        "dataset.opt.test.downscale=1",
+        "train.max_epochs=2",
+    ], monkeypatch)
+    for name in ("subj_a", "subj_b"):
+        assert list((run / name / "checkpoints").glob("step_*")), name
