@@ -29,7 +29,7 @@ import numpy as np
 
 H = W = 540
 TARGET_RAYS_PER_SEC = H * W * 30.0  # 30 FPS @ 540px
-CHUNK = 16384
+CHUNK = 16384  # rays per chunk (k_cap*CHUNK samples per launch)
 
 
 def main() -> None:
@@ -96,7 +96,7 @@ def main() -> None:
 
     render_frame()  # compile + warm
     t0 = time.perf_counter()
-    n_frames = 3
+    n_frames = 4
     for _ in range(n_frames):
         render_frame()
     dt = (time.perf_counter() - t0) / n_frames
