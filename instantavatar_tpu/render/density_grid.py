@@ -159,5 +159,7 @@ def occupancy_lookup(state: DensityGridState, pts: jax.Array) -> jax.Array:
     inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
     cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
     flat = (cell[..., 0] * G + cell[..., 1]) * G + cell[..., 2]
-    occ = jnp.take(state.occupancy.reshape(-1), flat)
-    return occ & inside
+    # gather as uint8: bool gathers force XLA's bit-packed pred tiling
+    # (T(1024)(128)(4,1)) with expensive memory-space copies (PERF.md)
+    occ = jnp.take(state.occupancy.reshape(-1).astype(jnp.uint8), flat)
+    return (occ != 0) & inside

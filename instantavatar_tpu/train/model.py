@@ -387,16 +387,17 @@ class AvatarModel:
                            key=None, noise_std=0.0, eval_mode=True,
                            bg_color=rbatch.get("bg_color"))
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 5))
     def _ray_hit_prepass(self, state: TrainState, batch, grid,
-                         coarse_steps: int = 64):
+                         dstate=None, coarse_steps: int = 64):
         """Cheap per-ray occupancy test (no field evals): does any coarse
         sample along the ray land in an occupied cell of the test grid?
         Used by render_frame to prune background rays — the static-shape
         analog of the reference's alive-ray compaction. ~64 grid lookups
         per ray ≈ 0.1 ms per 292k rays vs ~1 s to fully march them."""
         rbatch = self._resolve_batch(state.params, batch)
-        dstate = self._prepare(state.deformer_cano, rbatch)
+        if dstate is None:
+            dstate = self._prepare(state.deformer_cano, rbatch)
         rays = Rays(o=rbatch["rays_o"], d=rbatch["rays_d"],
                     near=rbatch["near"], far=rbatch["far"])
         rays_s = self.deformer.transform_rays_w2s(dstate, rays)
@@ -411,22 +412,26 @@ class AvatarModel:
         return (occ & (z < far[..., None])).any(axis=-1)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _bake_warp_cache(self, state: TrainState, batch, centers):
+    def _prepare_jit(self, state: TrainState, batch):
+        """Once-per-frame deformer bake (hoisted out of the per-chunk
+        jits — the SNARF prepare einsum reads the full 50 MB LBS voxel
+        and must not re-run per chunk, PERF.md)."""
+        rbatch = self._resolve_batch(state.params, batch)
+        return self._prepare(state.deformer_cano, rbatch)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _bake_warp_cache(self, state: TrainState, dstate, centers):
         """Jitted per-frame inverse-warp bake over (padded) occupied-cell
         centers."""
-        rbatch = self._resolve_batch(state.params, batch)
-        dstate = self._prepare(state.deformer_cano, rbatch)
         return self.deformer.bake_warp_cache(state.deformer_cano, dstate,
                                              centers)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _render_chunks_cached(self, state: TrainState, chunked, grid,
-                              cache_xc, cache_valid):
+                              cache_xc, cache_valid, dstate):
         """Single-dispatch chunked render through the inverse-warp cache
         (per-sample cost: 1 cell lookup + warp_refine_iters trilerp rows
         instead of a full Broyden search)."""
-        rbatch = self._resolve_batch(state.params, chunked["frame"])
-        dstate = self._prepare(state.deformer_cano, rbatch)
         field_params = state.params["field"] \
             if isinstance(state.params, dict) else state.params
         field_fn = self.deformer.make_cached_field_fn(
@@ -450,13 +455,12 @@ class AvatarModel:
         return jax.lax.map(one, chunked["rays"])
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _render_chunks(self, state: TrainState, chunked, grid):
+    def _render_chunks(self, state: TrainState, chunked, grid, dstate):
         """Render (n_chunks, chunk, ...) ray bundles in ONE dispatch —
         a lax.map over chunks inside jit. Per-dispatch latency through
         remote TPU links is ~tens of ms (PERF.md), so the per-frame loop
         must not dispatch per chunk."""
         rbatch = self._resolve_batch(state.params, chunked["frame"])
-        dstate = self._prepare(state.deformer_cano, rbatch)
         field_params = state.params["field"] \
             if isinstance(state.params, dict) else state.params
 
@@ -487,8 +491,16 @@ class AvatarModel:
             grid = self.build_test_grid(state, batch)
         n = batch["rays_o"].shape[0]
 
+        per_ray = ("rays_o", "rays_d", "near", "far", "rgb", "alpha",
+                   "bg_color")
+        # once-per-frame deformer bake, shared by prepass/bake/chunks
+        dstate = self._prepare_jit(
+            state, {k: jnp.asarray(v) if hasattr(v, "shape") else v
+                    for k, v in batch.items() if k not in per_ray})
+
         if prune_rays:
-            hit = np.asarray(self._ray_hit_prepass(state, batch, grid))
+            hit = np.asarray(self._ray_hit_prepass(state, batch, grid,
+                                                   dstate))
             sel = np.nonzero(hit)[0]
         else:
             sel = np.arange(n)
@@ -504,8 +516,6 @@ class AvatarModel:
         if len(sel) == 0:
             return out_full
 
-        per_ray = ("rays_o", "rays_d", "near", "far", "rgb", "alpha",
-                   "bg_color")
         sel_batch = dict(batch)
         for k in per_ray:
             if k in sel_batch and hasattr(sel_batch[k], "shape") \
@@ -551,17 +561,17 @@ class AvatarModel:
                 aabb[0][1] + (i1 + 0.5) / G * span[1],
                 aabb[0][2] + (i2 + 0.5) / G * span[2]], axis=-1)
             xc_c, valid_c = self._bake_warp_cache(
-                state, frame, jnp.asarray(centers, jnp.float32))
+                state, dstate, jnp.asarray(centers, jnp.float32))
             K = xc_c.shape[1]
             cache_xc = jnp.zeros((G ** 3, K, 3)).at[pad_idx].set(xc_c)
             cache_valid = jnp.zeros((G ** 3, K), bool).at[pad_idx] \
                 .set(valid_c)
             out = self._render_chunks_cached(
                 state, {"frame": frame, "rays": rays}, grid,
-                cache_xc, cache_valid)
+                cache_xc, cache_valid, dstate)
         else:
             out = self._render_chunks(state, {"frame": frame,
-                                              "rays": rays}, grid)
+                                              "rays": rays}, grid, dstate)
         merged = {k: np.asarray(v).reshape(total, *v.shape[2:])[:m]
                   for k, v in out.items()}
         for k in out_full:
