@@ -80,6 +80,7 @@ class AvatarDataset:
                  refine: bool = False, fitting: bool = False,
                  near: float | None = None, far: float | None = None,
                  mask_ext: str | None = None,
+                 native: bool = False,
                  bg_rng: np.random.Generator | None = None):
         root = Path(root)
         self.root = root
@@ -106,6 +107,23 @@ class AvatarDataset:
         self.near, self.far = near, far
         self.sampler = sampler if split == "train" else None
         self.bg_rng = bg_rng or np.random.default_rng()
+
+        # opt-in native data engine (C++ threaded decode + resident cache
+        # + native patch sampling); PatchSampler-compatible train splits
+        # and full-frame eval splits only, silent fallback otherwise
+        self._native = None
+        if native and downscale in (1, 2, 4, 8) \
+                and (self.sampler is None
+                     or isinstance(self.sampler, PatchSampler)):
+            try:
+                from .native_loader import NativeSequenceCache
+                self._native = NativeSequenceCache(
+                    self.img_lists, self.msk_lists, downscale=downscale)
+                self._native_seed = int(self.bg_rng.integers(2 ** 31))
+            except Exception as e:  # toolchain/libpng missing
+                import warnings
+                warnings.warn(f"native loader unavailable ({e}); using "
+                              "the Python path", stacklevel=2)
 
     @staticmethod
     def _resolve_poses(root: Path, split: str, refine: bool, fitting: bool,
@@ -139,7 +157,46 @@ class AvatarDataset:
         """Full per-frame parameter arrays (for SMPLParamEmbedding init)."""
         return {k: v.copy() for k, v in self.smpl_params.items()}
 
+    def _getitem_native(self, idx: int) -> dict[str, Any]:
+        smp = self.sampler
+        if smp is not None:
+            seed = self._native_seed + idx * 100003 \
+                + int(self.bg_rng.integers(2 ** 20))
+            rgb, alpha, bg, coords = self._native.sample_patches(
+                idx, smp.n, smp.patch_size, smp.p, smp.dilate, seed)
+            S = smp.patch_size
+            rays_o = np.stack([self.rays_o[y:y + S, x:x + S]
+                               for y, x in coords])
+            rays_d = np.stack([self.rays_d[y:y + S, x:x + S]
+                               for y, x in coords])
+        else:
+            rgb, alpha = self._native.full_frame(idx)
+            rgb = rgb.reshape(-1, 3)
+            alpha = alpha.reshape(-1)
+            bg = np.ones_like(rgb)
+            rays_o = self.rays_o.reshape(-1, 3)
+            rays_d = self.rays_d.reshape(-1, 3)
+        datum = {
+            "rgb": rgb, "rays_o": rays_o, "rays_d": rays_d,
+            "betas": self.smpl_params["betas"][0],
+            "global_orient": self.smpl_params["global_orient"][idx],
+            "body_pose": self.smpl_params["body_pose"][idx],
+            "transl": self.smpl_params["transl"][idx],
+            "alpha": alpha, "bg_color": bg, "idx": np.int32(idx),
+        }
+        ray_shape = rays_d.shape[:-1]
+        if self.near is not None and self.far is not None:
+            datum["near"] = np.full(ray_shape, self.near, np.float32)
+            datum["far"] = np.full(ray_shape, self.far, np.float32)
+        else:
+            near, far = near_far_from_transl(self.smpl_params["transl"][idx])
+            datum["near"] = np.full(ray_shape, near, np.float32)
+            datum["far"] = np.full(ray_shape, far, np.float32)
+        return datum
+
     def __getitem__(self, idx: int) -> dict[str, Any]:
+        if self._native is not None:
+            return self._getitem_native(idx)
         import cv2
         img = _imread_rgb(self.img_lists[idx])
         msk = _load_mask(self.msk_lists[idx])
@@ -214,6 +271,7 @@ class AvatarDataModule:
                 sampler=sampler,
                 refine=bool(sopt.pop("refine", False)),
                 fitting=bool(opt.get("fitting", False)),
+                native=bool(opt.get("native", False)),
                 **{k: v for k, v in sopt.items()
                    if k in ("start", "end", "skip", "downscale", "near",
                             "far", "mask_ext")})

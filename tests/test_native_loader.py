@@ -58,3 +58,29 @@ def test_native_full_frame_matches_dataset(seq, cache):
     rgb, alpha = cache.full_frame(2)
     np.testing.assert_allclose(rgb.reshape(-1, 3), b["rgb"], atol=2.5 / 255)
     np.testing.assert_allclose(alpha.reshape(-1), b["alpha"], atol=1e-5)
+
+
+def test_dataset_native_path(seq):
+    """AvatarDataset(native=True) produces batches with the same schema
+    and statistics as the Python path and trains-compatible dtypes."""
+    from instantavatar_tpu.data import PatchSampler
+    rng = np.random.default_rng(0)
+    ds_py = AvatarDataset(seq, "train", start=0, end=2,
+                          sampler=PatchSampler(2, 16, rng=rng))
+    ds_nat = AvatarDataset(seq, "train", start=0, end=2,
+                           sampler=PatchSampler(2, 16),
+                           native=True)
+    assert ds_nat._native is not None
+    a, b = ds_py[0], ds_nat[0]
+    for k in a:
+        assert a[k].shape == b[k].shape, k
+        assert np.asarray(a[k]).dtype == np.asarray(b[k]).dtype, k
+    # body pixels exist in native patches and composite correctly
+    assert b["alpha"].max() > 0
+    outside = b["alpha"] < 1e-6
+    np.testing.assert_allclose(b["rgb"][outside], b["bg_color"][outside],
+                               atol=1e-6)
+    # eval split: native full frame equals python full frame
+    v_py = AvatarDataset(seq, "val", start=0, end=0)[0]
+    v_nat = AvatarDataset(seq, "val", start=0, end=0, native=True)[0]
+    np.testing.assert_allclose(v_nat["rgb"], v_py["rgb"], atol=2.5 / 255)
