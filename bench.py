@@ -29,7 +29,7 @@ import numpy as np
 
 H = W = 540
 TARGET_RAYS_PER_SEC = H * W * 30.0  # 30 FPS @ 540px
-CHUNK = 16384  # rays per chunk (k_cap*CHUNK samples per launch)
+CHUNK = 32768  # rays per chunk inside the fused frame jit
 
 
 def main() -> None:
@@ -45,7 +45,8 @@ def main() -> None:
         body, VoxelTriplaneField(),
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
                       n_iters=6, cand_cap=2, n_init_active=4),
-        n_steps=128, k_cap=8, grid_size=64)
+        n_steps=128, k_cap=8, grid_size=64,
+        eval_n_steps=48, cache_n_cand=1)
 
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
 
@@ -89,16 +90,16 @@ def main() -> None:
     grid = body_grid(state)
     np.asarray(grid.occupancy)  # force
 
-    def render_frame():
-        out = avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
-                                  image_shape=(H, W))
-        return out["rgb"][0, 0]  # numpy already — host-synced
+    # warm/compile a single frame first
+    avatar.render_frame(state, batch, chunk=CHUNK, grid=grid)
 
-    render_frame()  # compile + warm
+    # steady-state animation throughput: pipelined frames (readback of
+    # frame i overlaps frame i+1's compute)
+    n_frames = 8
     t0 = time.perf_counter()
-    n_frames = 4
-    for _ in range(n_frames):
-        render_frame()
+    for out in avatar.render_frames(state, [batch] * n_frames,
+                                    chunk=CHUNK, grid=grid, depth=2):
+        assert out["rgb"].shape == (H * W, 3)
     dt = (time.perf_counter() - t0) / n_frames
 
     rays_per_sec = H * W / dt

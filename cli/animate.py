@@ -60,9 +60,13 @@ def render_sequence(trainer, state, batches, out_dir: Path,
     import imageio
     out_dir.mkdir(parents=True, exist_ok=True)
     frames = []
-    for i, (H, W, batch) in enumerate(batches):
-        out = trainer.avatar.render_frame(state, batch,
-                                          chunk=trainer.eval_chunk)
+    batches = list(batches)
+    shapes = [(H, W) for H, W, _ in batches]
+    # pipelined renderer: frame i's host fetch overlaps frame i+1's
+    # on-device compute (render_frames keeps 2 frames in flight)
+    outs = trainer.avatar.render_frames(
+        state, [b for _, _, b in batches], chunk=trainer.eval_chunk)
+    for i, ((H, W), out) in enumerate(zip(shapes, outs)):
         rgb = np.clip(out["rgb"].reshape(H, W, 3), 0, 1)
         alpha = np.clip(out["alpha"].reshape(H, W, 1), 0, 1)
         rgba = np.concatenate([rgb, alpha], axis=-1)

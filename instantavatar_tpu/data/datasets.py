@@ -271,7 +271,11 @@ class AvatarDataModule:
                 sampler=sampler,
                 refine=bool(sopt.pop("refine", False)),
                 fitting=bool(opt.get("fitting", False)),
-                native=bool(opt.get("native", False)),
+                # native C++ data engine defaults ON for train splits
+                # (threaded decode + resident cache + native patch
+                # sampling); AvatarDataset silently keeps the Python path
+                # when the toolchain/libpng or sampler shape rules it out
+                native=bool(opt.get("native", split == "train")),
                 **{k: v for k, v in sopt.items()
                    if k in ("start", "end", "skip", "downscale", "near",
                             "far", "mask_ext")})

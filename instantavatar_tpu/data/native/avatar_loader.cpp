@@ -30,6 +30,8 @@ namespace {
 struct Frame {
   std::vector<float> rgb;   // H*W*3 in [0,1]
   std::vector<float> mask;  // H*W in [0,1]
+  int height = 0;
+  int width = 0;
 };
 
 struct Sequence {
@@ -242,8 +244,8 @@ void* avatar_load_sequence(const char* image_paths, const char* mask_paths,
       int oh, ow;
       downscale(rgb, h, w, 3, downscale_f, &f.rgb, &oh, &ow);
       downscale(mask, h, w, 1, downscale_f, &f.mask, &oh, &ow);
-      seq->height = oh;
-      seq->width = ow;
+      f.height = oh;
+      f.width = ow;
     }
   };
   std::vector<std::thread> pool;
@@ -252,6 +254,16 @@ void* avatar_load_sequence(const char* image_paths, const char* mask_paths,
   if (!ok.load()) {
     delete seq;
     return nullptr;
+  }
+  // samplers index every frame with the sequence-level H*W — reject
+  // sequences with mixed frame dimensions instead of reading OOB
+  seq->height = seq->frames.empty() ? 0 : seq->frames[0].height;
+  seq->width = seq->frames.empty() ? 0 : seq->frames[0].width;
+  for (const Frame& f : seq->frames) {
+    if (f.height != seq->height || f.width != seq->width) {
+      delete seq;
+      return nullptr;
+    }
   }
   return seq;
 }

@@ -110,7 +110,8 @@ class SNARFDeformer:
                  version: int = 1,
                  cand_cap: int = 4,
                  n_init_active: int | None = None,
-                 knn_chunk: int = 8192):
+                 knn_chunk: int = 8192,
+                 bake_residual: float = 1e-2):
         self.body = body_model
         self.resolution = resolution
         self.cano_pose = cano_pose
@@ -124,6 +125,13 @@ class SNARFDeformer:
         # (None = reference-parity full set); see PERF.md
         self.n_init_active = n_init_active
         self.knn_chunk = knn_chunk
+        # cache-bake validity: accept lanes whose final residual (posed
+        # meters) is below this even if not strictly converged — the bake
+        # searches CELL CENTERS, which sit off-surface half a cell more
+        # often than ray samples do; the per-sample cached-Newton step
+        # absorbs residuals of this size. Strict convergence alone loses
+        # silhouette-edge candidates (measured ~2 dB at 48px).
+        self.bake_residual = bake_residual
         self.init_bones = np.asarray(INIT_BONES, np.int32)
 
     @property
@@ -271,6 +279,20 @@ class SNARFDeformer:
         No gradients flow (wrapped in stop_gradient like the reference's
         no_grad search, deformer_torch.py:96-97).
         """
+        x, J_inv, valid, _, _ = self._search_raw(canonical, frame, xd)
+        xc = jnp.where(valid[..., None], x, 0.0)
+        valid = self._filter_duplicates(xc, valid)
+        return xc, valid, J_inv
+
+    def _search_raw(self, canonical: SnarfCanonical, frame: SnarfFrame,
+                    xd: jax.Array):
+        """Broyden core. Returns RAW per-lane results before the dedup
+        filter: (x (N, I, 3) final positions, J_inv (N, I, 3, 3),
+        valid_strict (N, I) — converged to cvg while in-bounds (the
+        reference semantics), res_sq (N, I) — final residual ||f(x)-xd||^2,
+        in_b (N, I) — final position inside the canonical voxel). The
+        loose callers (cache bake) accept lanes with small-but-unconverged
+        residuals that a downstream Newton step absorbs."""
         xd = jax.lax.stop_gradient(xd)
         tfs = jax.lax.stop_gradient(frame.tfs)
         I = len(self.init_bones)
@@ -402,132 +424,160 @@ class SNARFDeformer:
         valid = valid.reshape(N, I)
         x = jnp.stack(xx, axis=-1).reshape(N, I, 3)
         J_inv = jnp.stack(Ji, axis=-1).reshape(N, I, 3, 3)
-        xc = jnp.where(valid[..., None], x, 0.0)
-        valid = self._filter_duplicates(xc, valid)
-        return xc, valid, J_inv
+        res_sq = (g[0] * g[0] + g[1] * g[1] + g[2] * g[2]).reshape(N, I)
+        # final in-bounds test is pure arithmetic (no gather)
+        in_b = jnp.ones((M,), bool)
+        for c in range(3):
+            nc = (xx[c] - off[c]) * isc[c]
+            in_b = in_b & (jnp.abs(nc) <= 1.0)
+        return x, J_inv, valid, res_sq, in_b.reshape(N, I)
 
-    # -- inverse-warp cache (eval acceleration, PERF.md item 4) ------------
+    # -- packed inverse-warp cache (eval acceleration) ----------------------
+    #
+    # Per-frame bake: run the Broyden search ONCE on occupied-cell centers
+    # and store, per cell, K candidate rows [xc (3), J_inv (9, row-major),
+    # valid (1)] — 13 floats/candidate, K*52 bytes/cell (<= the 128-byte
+    # single-gather-row limit for K <= 2, PERF.md). Because the search
+    # converged to f(xc0) = cell_center, the exact correspondence of any
+    # sample xd inside the cell is one cached-Newton step away:
+    #     xc = xc0 + J_inv @ (xd - cell_center)
+    # with NO voxel_J trilerp at render time — the cell row (which also
+    # serves as the occupancy test) is the only gather besides the field's.
+    # Candidates are ordered by baked field sigma (desc) so a top-1 render
+    # reproduces the reference's max-sigma candidate select at cell
+    # granularity (snarf_deformer.py:157-158).
 
-    def bake_warp_cache(self, canonical: SnarfCanonical, frame: SnarfFrame,
-                        cells: jax.Array) -> tuple[jax.Array, jax.Array]:
-        """Run the full Broyden search once on posed-space cell centers.
+    ROW_FLOATS = 13  # xc(3) + J_inv(9) + valid(1)
+
+    def bake_packed_cache(self, canonical: SnarfCanonical,
+                          frame: SnarfFrame, cells: jax.Array,
+                          net_sigma_fn=None,
+                          cell_mask: jax.Array | None = None) -> jax.Array:
+        """Full Broyden search on posed-space cell centers -> packed rows.
 
         Args:
-          cells: (C, 3) posed SMPL-space points (occupied-cell centers).
+          cells: (C, 3) posed SMPL-space cell centers.
+          net_sigma_fn: optional (M, 3) canonical pts -> sigma (M,); when
+            given, candidates are sorted by baked sigma descending.
+          cell_mask: optional (C,) bool; False rows are zeroed (used for
+            padding when the occupied-cell count is dynamic).
         Returns:
-          xc (C, K, 3) canonical candidates, valid (C, K) — the per-frame
-          inverse-warp table. K = min(cand_cap, active inits).
+          rows (C, K * 13) float32, K = min(cand_cap, active inits).
         """
-        xc, valid, _ = self.search(canonical, frame, cells)
-        K = min(self.cand_cap, xc.shape[1])
-        if K < xc.shape[1]:
+        x, J_inv, strict, res_sq, in_b = self._search_raw(canonical, frame,
+                                                          cells)
+        valid = strict | (in_b & (res_sq < self.bake_residual ** 2))
+        xc = jnp.where(valid[..., None], x, 0.0)
+        valid = self._filter_duplicates(xc, valid)
+        C, I = valid.shape
+        Jf = J_inv.reshape(C, I, 9)
+        K = min(self.cand_cap, I)
+        if K < I:
             from ..render.raymarcher import compact_samples
             order, keep = compact_samples(valid, K)
             xc = jnp.take_along_axis(xc, order[..., None].repeat(3, -1),
                                      axis=1)
+            Jf = jnp.take_along_axis(Jf, order[..., None].repeat(9, -1),
+                                     axis=1)
             valid = keep
-        return xc, valid
+        if net_sigma_fn is not None and K > 1:
+            sigma = net_sigma_fn(xc.reshape(C * K, 3)).reshape(C, K)
+            sigma = jnp.where(valid, sigma, -jnp.inf)
+            # bake-time sort over the tiny K axis (NOT a hot-path sort)
+            order2 = jnp.argsort(-sigma, axis=-1)
+            xc = jnp.take_along_axis(xc, order2[..., None].repeat(3, -1),
+                                     axis=1)
+            Jf = jnp.take_along_axis(Jf, order2[..., None].repeat(9, -1),
+                                     axis=1)
+            valid = jnp.take_along_axis(valid, order2, axis=1)
+        rows = jnp.concatenate(
+            [xc, Jf, valid.astype(jnp.float32)[..., None]], axis=-1)
+        if cell_mask is not None:
+            rows = rows * cell_mask[:, None, None].astype(rows.dtype)
+        return rows.reshape(C, K * self.ROW_FLOATS)
 
-    def refine_from_cache(self, canonical: SnarfCanonical,
-                          frame: SnarfFrame, xd: jax.Array,
-                          xc0: jax.Array, valid0: jax.Array,
-                          n_refine: int = 1
-                          ) -> tuple[jax.Array, jax.Array]:
-        """Warm-started correction: one (or more) Newton-like steps from a
-        cached per-cell canonical candidate toward the exact
-        correspondence of the actual sample point xd.
+    def make_packed_cache_fns(self, cache_rows: jax.Array,
+                              grid_aabb: jax.Array, grid_size: int,
+                              net_apply, n_cand: int = 1):
+        """Marcher closures over the packed cache. Returns
+        (probe_fn, field_fn, occupancy_fn, field_fn_pts):
 
-        Args:
-          xd: (M, 3) posed points; xc0/valid0: (M, K, 3)/(M, K) cached
-          candidates from the containing cell.
-        Returns refined (xc (M, K, 3), valid (M, K)).
+          * probe_fn/field_fn — the fused single-gather pair for
+            ``render_rays_probed`` (one (M, K*13) row gather per dense
+            sample; rows ride through compaction via take_along_axis);
+          * occupancy_fn/field_fn_pts — the split pair for ``render_rays``
+            (1-byte any-valid gather per dense sample; rows gathered only
+            at the k_cap compacted samples).
+
+        Both implement identical semantics; which is faster depends on how
+        XLA lowers the payload take_along_axis — pick by measurement
+        (AvatarModel.cache_fused_probe).
         """
-        M, K, _ = xc0.shape
-        flat = lambda a: a.reshape(M * K)
-        xx = [flat(xc0[..., c]) for c in range(3)]
-        xdt = [jnp.broadcast_to(xd[:, None, c], (M, K)).reshape(M * K)
-               for c in range(3)]
-
-        packed = frame.voxel_J_packed
-        D, H, W = self.vox_shape
-        off, isc = canonical.offset, canonical.inv_scale
-
-        def sample12(x0c, x1c, x2c):
-            nx = (x0c - off[0]) * isc[0]
-            ny = (x1c - off[1]) * isc[1]
-            nz = (x2c - off[2]) * isc[2]
-            in_b = (jnp.abs(nx) <= 1.0) & (jnp.abs(ny) <= 1.0) \
-                & (jnp.abs(nz) <= 1.0)
-            fx = jnp.clip((nx + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
-            fy = jnp.clip((ny + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
-            fz = jnp.clip((nz + 1.0) * 0.5 * (D - 1), 0.0, D - 1.0)
-            ix = jnp.minimum(fx.astype(jnp.int32), W - 2)
-            iy = jnp.minimum(fy.astype(jnp.int32), H - 2)
-            iz = jnp.minimum(fz.astype(jnp.int32), D - 2)
-            tx, ty, tz = fx - ix, fy - iy, fz - iz
-            rows = jnp.take(packed, (iz * H + iy) * W + ix, axis=0)
-            w = []
-            for k in range(8):
-                dz, dy, dx = k >> 2 & 1, k >> 1 & 1, k & 1
-                w.append((tz if dz else 1 - tz) * (ty if dy else 1 - ty)
-                         * (tx if dx else 1 - tx))
-            J12 = jnp.einsum("mkc,mk->mc", rows.reshape(-1, 8, 12),
-                             jnp.stack(w, axis=-1))
-            return [J12.T[c] for c in range(12)], in_b
-
-        in_b = None
-        for _ in range(n_refine):
-            J, in_b = sample12(*xx)
-            g = [J[4 * r] * xx[0] + J[4 * r + 1] * xx[1]
-                 + J[4 * r + 2] * xx[2] + J[4 * r + 3] - xdt[r]
-                 for r in range(3)]
-            # Newton step with J^T as the approximate inverse (the rigid-
-            # dominant skinning Jacobian is near-orthogonal)
-            u = [-(J[r] * g[0] + J[4 + r] * g[1] + J[8 + r] * g[2])
-                 for r in range(3)]
-            xx = [xx[r] + u[r] for r in range(3)]
-
-        xc = jnp.stack([x.reshape(M, K) for x in xx], axis=-1)
-        valid = valid0 & (in_b.reshape(M, K) if in_b is not None
-                          else jnp.ones((M, K), bool))
-        return xc, valid
-
-    def make_cached_field_fn(self, canonical: SnarfCanonical,
-                             frame: SnarfFrame, cache_xc: jax.Array,
-                             cache_valid: jax.Array, grid_aabb: jax.Array,
-                             net_apply, grid_size: int,
-                             n_refine: int = 1):
-        """Marcher closure using the baked inverse-warp table: per sample,
-        look up the containing cell's candidates and refine — 2-3 gather
-        rows per sample instead of a full 7-sample Broyden search."""
         G = grid_size
-        K = cache_xc.shape[1]
+        R = self.ROW_FLOATS
+        K = cache_rows.shape[-1] // R
+        C = min(n_cand, K)
+        aabb0 = grid_aabb[0]
+        span = grid_aabb[1] - grid_aabb[0]
+        # 1-byte per-cell "has any valid candidate" table (derived once)
+        occ_bytes = (cache_rows.reshape(-1, K, R)[..., 12] > 0.5) \
+            .any(-1).astype(jnp.uint8)
 
-        def field_fn(pts):
-            rel = (pts - grid_aabb[0]) / (grid_aabb[1] - grid_aabb[0])
+        def cell_of(pts):
+            rel = (pts - aabb0) / span
+            inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
             cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
-            flat_idx = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
-            xc0 = jnp.take(cache_xc.reshape(G ** 3, K * 3), flat_idx,
-                           axis=0).reshape(-1, K, 3)
-            v0 = jnp.take(cache_valid.reshape(G ** 3, K), flat_idx, axis=0)
-            xc, valid = self.refine_from_cache(canonical, frame, pts,
-                                               xc0, v0, n_refine)
-            N = xc.shape[0]
-            rgb, sigma = net_apply(xc.reshape(N * K, 3))
-            rgb = rgb.reshape(N, K, 3)
-            sigma = sigma.reshape(N, K)
+            return cell, inside
+
+        def flat_cell(pts):
+            cell, inside = cell_of(pts)
+            return (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2], inside
+
+        def probe_fn(pts):
+            flat, inside = flat_cell(pts)
+            rows = jnp.take(cache_rows, flat, axis=0)       # (M, K*13)
+            any_valid = (rows.reshape(-1, K, R)[..., 12] > 0.5).any(-1)
+            return inside & any_valid, rows
+
+        def occupancy_fn(pts):
+            flat, inside = flat_cell(pts)
+            return (jnp.take(occ_bytes, flat) != 0) & inside
+
+        def field_fn_pts(pts):
+            flat, _ = flat_cell(pts)
+            rows = jnp.take(cache_rows, flat, axis=0)
+            return field_fn(pts, rows)
+
+        def field_fn(pts, rows):
+            M = pts.shape[0]
+            r = rows.reshape(M, K, R)[:, :C]
+            cell, _ = cell_of(pts)
+            center = aabb0 + (cell.astype(jnp.float32) + 0.5) / G * span
+            delta = pts - center                            # (M, 3)
+            xc0 = r[..., 0:3]
+            Ji = r[..., 3:12].reshape(M, C, 3, 3)
+            val = r[..., 12] > 0.5
+            xc = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, delta)
+            rgb, sigma = net_apply(xc.reshape(M * C, 3))
+            rgb = rgb.reshape(M, C, 3)
+            sigma = sigma.reshape(M, C)
             finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
-            ok = valid & finite
+            ok = val & finite
             sigma = jnp.where(ok, sigma, -1e5)
-            best = jnp.argmax(sigma, axis=-1)
-            sigma_out = jnp.take_along_axis(sigma, best[:, None],
-                                            axis=1)[:, 0]
-            rgb_out = jnp.take_along_axis(
-                rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
-            any_ok = ok.any(axis=-1)
+            if C == 1:
+                sigma_out, rgb_out = sigma[:, 0], rgb[:, 0]
+                any_ok = ok[:, 0]
+            else:
+                best = jnp.argmax(sigma, axis=-1)
+                sigma_out = jnp.take_along_axis(sigma, best[:, None],
+                                                axis=1)[:, 0]
+                rgb_out = jnp.take_along_axis(
+                    rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
+                any_ok = ok.any(axis=-1)
             rgb_out = jnp.where(any_ok[:, None], rgb_out, 0.0)
             return rgb_out, sigma_out, any_ok
-        return field_fn
+
+        return probe_fn, field_fn, occupancy_fn, field_fn_pts
 
     @staticmethod
     def _filter_duplicates(xc: jax.Array, valid: jax.Array,

@@ -4,20 +4,31 @@ PerceptualSimilarity network vendored by the reference
 frozen VGG16/AlexNet trunk tapped after each ReLU stage, per-channel unit
 normalization, learned 1x1 linear heads, spatial mean, sum over stages.
 
-Weights: this environment has no torchvision and no network egress, so the
-trunk weights cannot be downloaded (SURVEY §7.3.6). The module therefore
-loads weights from an ``.npz``/torch ``.pth`` file when one is provided
-(``weights_path`` arg or INSTANTAVATAR_LPIPS_WEIGHTS env var; the
-converter understands torchvision ``vgg16``/``alexnet`` state dicts and
-lpips ``lin*.model.1.weight`` head dicts) and otherwise can fall back to a
+Weights: the learned 1x1 head weights are extracted from the reference's
+bundled .pth files (scripts/extract_lpips_heads.py, torch-free reader) and
+shipped in-repo as ``losses/weights/lpips_heads_{vgg,alex}.npz`` — heads
+are always numerically exact. The VGG/alex *trunks* come from torchvision
+in the reference (third_parties/lpips/pretrained_networks.py:12-30) and
+cannot be downloaded here (no egress), so the trunk loads from an
+``.npz``/torch ``.pth`` file when one is provided (``weights_path`` arg or
+INSTANTAVATAR_LPIPS_WEIGHTS env var; torch .pth files are read without
+torch via utils.torch_reader) and otherwise can fall back to a
 *deterministic random-feature* trunk (``allow_random=True``) — random VGG
 features are a known-usable perceptual loss for training, but they are NOT
 numerically comparable to published LPIPS numbers, so the Evaluator skips
-LPIPS when real weights are absent.
+LPIPS (loudly) when a real trunk is absent. ``LPIPS.numerically_matched``
+records the provenance.
+
+Channel order: the whole pipeline carries images in cv2/BGR order like the
+reference; the reference flips to RGB just before LPIPS (loss.py:28,
+eval.py:95) because the ImageNet scaling layer is RGB-ordered. This module
+does the flip internally (``expect_bgr=True`` default).
 """
 from __future__ import annotations
 
 import os
+import warnings
+from pathlib import Path
 from typing import NamedTuple, Sequence
 
 import jax
@@ -25,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LPIPS", "load_lpips", "vgg16_config", "alexnet_config"]
+
+_WEIGHTS_DIR = Path(__file__).parent / "weights"
 
 # reference scaling layer constants (lpips.py ScalingLayer)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
@@ -68,10 +81,16 @@ def _maxpool(x, size=2, stride=2):
 
 
 class LPIPS:
-    def __init__(self, net: str = "vgg", params: LPIPSParams | None = None):
+    def __init__(self, net: str = "vgg", params: LPIPSParams | None = None,
+                 expect_bgr: bool = True, numerically_matched: bool = False):
         self.net = net
         self.cfg = vgg16_config() if net == "vgg" else alexnet_config()
         self.params = params
+        # pipeline images are cv2/BGR; the scaling layer is RGB-ordered, so
+        # flip like the reference (loss.py:28, eval.py:95)
+        self.expect_bgr = expect_bgr
+        # True only when trunk AND heads carry real published weights
+        self.numerically_matched = numerically_matched
 
     # -- trunk forward ------------------------------------------------------
 
@@ -112,6 +131,8 @@ class LPIPS:
         params = self.params
 
         def prep(img):
+            if self.expect_bgr:
+                img = img[..., ::-1]                    # BGR -> RGB
             img = img.astype(jnp.float32) * 2.0 - 1.0   # [-1, 1]
             return (img - _SHIFT) / _SCALE
 
@@ -180,30 +201,67 @@ def _random_trunk(net: str, key) -> tuple:
     return tuple(convs)
 
 
+def _shipped_heads(net: str) -> tuple | None:
+    """The exact published v0.1 head weights shipped in-repo (extracted
+    from the reference's .pth bundles by scripts/extract_lpips_heads.py)."""
+    path = _WEIGHTS_DIR / f"lpips_heads_{net}.npz"
+    if not path.exists():
+        return None
+    raw = np.load(path)
+    return tuple(jnp.asarray(raw[f"head{i}"], jnp.float32)
+                 for i in range(5))
+
+
 def load_lpips(net: str = "vgg", weights_path: str | None = None,
                allow_random: bool = False) -> LPIPS:
-    """Build an LPIPS module. Raises FileNotFoundError when no weights are
-    available and allow_random is False."""
+    """Build an LPIPS module.
+
+    Heads: from ``weights_path`` when it has ``lin*.model.1.weight`` keys,
+    else the shipped exact npz. Trunk: from ``weights_path`` (npz or torch
+    .pth, read torch-free) else a deterministic random trunk when
+    ``allow_random`` — otherwise raises FileNotFoundError.
+    """
     cfg = vgg16_config() if net == "vgg" else alexnet_config()
     path = weights_path or os.environ.get("INSTANTAVATAR_LPIPS_WEIGHTS")
+    convs = None
+    heads = None
+    real_trunk = False
     if path and os.path.exists(path):
         if path.endswith(".npz"):
             raw = dict(np.load(path, allow_pickle=True))
         else:
-            import torch
-            raw = {k: v.numpy() for k, v in
-                   torch.load(path, map_location="cpu").items()}
+            from ..utils.torch_reader import load_torch_weights
+            raw = load_torch_weights(path)
         convs = _convert_torch_trunk(raw, net)
+        real_trunk = bool(convs)
+        if not convs:
+            convs = None
         try:
             heads = _convert_torch_heads(raw)
         except KeyError:
-            heads = tuple(jnp.ones((c,)) / c for c in cfg["tap_channels"])
-    elif allow_random:
-        convs = _random_trunk(net, jax.random.PRNGKey(0))
+            heads = None
+    if heads is None:
+        heads = _shipped_heads(net)
+    real_heads = heads is not None
+    if heads is None:
         heads = tuple(jnp.ones((c,)) / c for c in cfg["tap_channels"])
-    else:
-        raise FileNotFoundError(
-            "no LPIPS weights available (set INSTANTAVATAR_LPIPS_WEIGHTS "
-            "or pass weights_path; allow_random=True for a training-only "
-            "random-feature fallback)")
-    return LPIPS(net, LPIPSParams(convs=convs, heads=heads))
+    if convs is None:
+        if not allow_random:
+            raise FileNotFoundError(
+                "no LPIPS trunk weights available (set "
+                "INSTANTAVATAR_LPIPS_WEIGHTS to a torchvision "
+                f"{net} state dict .pth/.npz, or pass weights_path; "
+                "allow_random=True enables a training-only random-feature "
+                "fallback)")
+        warnings.warn(
+            f"LPIPS({net}): no trunk weights found — using a deterministic "
+            "RANDOM-feature trunk. Fine as a training loss; NOT comparable "
+            "to published LPIPS numbers.", stacklevel=2)
+        convs = _random_trunk(net, jax.random.PRNGKey(0))
+    expected = sum(n for _, n in cfg["stages"]) if net == "vgg" else 5
+    if len(convs) != expected:
+        raise ValueError(
+            f"LPIPS({net}): trunk has {len(convs)} convs, expected "
+            f"{expected} — wrong state dict?")
+    return LPIPS(net, LPIPSParams(convs=convs, heads=heads),
+                 numerically_matched=real_trunk and real_heads)

@@ -97,16 +97,17 @@ def make_dp_train_step(avatar: AvatarModel, mesh: Mesh,
             out_specs=P(),
             check_rep=False)
         def _sharded(state, local_batch, key):
-            # decorrelate stochastic sampling across ray shards
-            key = jax.random.fold_in(key, jax.lax.axis_index("ray"))
+            # decorrelate stochastic RENDER sampling across ray shards;
+            # the grid jitter uses the un-folded key (grid_key) so every
+            # chip computes a bit-identical occupancy update and the pmean
+            # below is a true no-op consistency guard
+            k_render = jax.random.fold_in(key, jax.lax.axis_index("ray"))
             grads, losses, new_grid = avatar.grads_and_losses(
-                state, local_batch, key, with_grid_update)
+                state, local_batch, k_render, with_grid_update,
+                grid_key=key)
             grads = jax.lax.pmean(grads, "ray")
             losses = jax.lax.pmean(losses, "ray")
             if with_grid_update:
-                # every chip computed the same update (same key after
-                # discarding the fold-in for the grid half) — pmean makes
-                # the cached density identical bit-for-bit
                 new_grid = new_grid._replace(
                     density_cached=jax.lax.pmean(new_grid.density_cached,
                                                  "ray"),
@@ -155,26 +156,54 @@ def stack_subjects(states: list[TrainState]) -> TrainState:
 
 def make_multi_subject_step(avatar: AvatarModel, mesh: Mesh,
                             with_grid_update: bool = False):
-    """vmapped + subject-sharded train step: S independent avatars, no
-    cross-subject collectives. batch leaves must carry a leading subject
-    axis; states are stacked with ``stack_subjects``.
+    """Combined (subject x ray) train step: S independent avatars whose
+    parameters/batches shard over mesh axis ``subject`` (no cross-subject
+    collectives), while each subject's ray batch additionally shards over
+    mesh axis ``ray`` with a per-subject gradient pmean — the natural
+    layout for >8-chip pods (e.g. 4 subjects x 4 ray shards on 16 chips).
 
-    Sharding: subject axis of params/batch over mesh axis ``subject``;
-    within a subject, rays additionally shard over ``ray`` via the inner
-    shard_map when the mesh has a ray extent > 1.
+    batch leaves carry a leading subject axis; per-ray leaves are
+    (S, R, ...) and shard P("subject", "ray"). states are stacked with
+    ``stack_subjects``; keys are per-subject (S, 2) uint32.
     """
+    n_ray = mesh.shape["ray"]
+    per_frame = {"betas", "body_pose", "global_orient", "transl", "idx"}
 
     def one_subject(state, batch, key):
-        grads, losses, new_grid = avatar.grads_and_losses(
-            state, batch, key, with_grid_update)
+        # decorrelate render sampling across this subject's ray shards
+        # (same fold as make_dp_train_step, so a combined S x R step is
+        # bit-identical to S independent 1 x R ray-DP steps); grid jitter
+        # keeps the un-folded per-subject key so every ray shard computes
+        # a bit-identical grid update. n_ray == 1 keeps single-chip key
+        # semantics exactly.
+        if n_ray > 1:
+            k_render = jax.random.fold_in(key, jax.lax.axis_index("ray"))
+            grads, losses, new_grid = avatar.grads_and_losses(
+                state, batch, k_render, with_grid_update, grid_key=key)
+        else:
+            grads, losses, new_grid = avatar.grads_and_losses(
+                state, batch, key, with_grid_update)
+        if n_ray > 1:
+            grads = jax.lax.pmean(grads, "ray")
+            losses = jax.lax.pmean(losses, "ray")
+            if with_grid_update:
+                new_grid = new_grid._replace(
+                    density_cached=jax.lax.pmean(new_grid.density_cached,
+                                                 "ray"),
+                    occupancy=jax.lax.pmean(
+                        new_grid.occupancy.astype(jnp.float32), "ray") > 0.5)
         return avatar.apply_grads(state, grads, new_grid), losses
 
     vstep = jax.vmap(one_subject)
 
     def step(states: TrainState, batches, keys):
-        n = mesh.shape["subject"]
-        sharding = NamedSharding(mesh, P("subject"))
-        states = jax.lax.with_sharding_constraint(states, sharding)
-        return vstep(states, batches, keys)
+        batch_specs = {k: (P("subject") if k in per_frame
+                           else P("subject", "ray")) for k in batches}
+        sharded = shard_map(
+            vstep, mesh=mesh,
+            in_specs=(P("subject"), batch_specs, P("subject")),
+            out_specs=(P("subject"), P("subject")),
+            check_rep=False)
+        return sharded(states, batches, keys)
 
     return jax.jit(step)

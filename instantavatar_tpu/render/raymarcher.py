@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .compositing import composite
 
 __all__ = ["Rays", "RenderOutput", "ray_aabb", "sample_z", "compact_samples",
-           "render_rays"]
+           "render_rays", "render_rays_probed"]
 
 
 class Rays(NamedTuple):
@@ -167,6 +167,65 @@ def render_rays(field_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array,
 
     if key is not None and noise_std is not None:
         sigma = sigma + noise_std * jax.random.normal(k_noise, sigma.shape)
+
+    out = composite(sigma, rgb, z_k, step, keep, bg_color)
+    return RenderOutput(out.rgb, out.depth, out.alpha,
+                        counter.astype(jnp.int32), out.weights)
+
+
+def render_rays_probed(probe_fn: Callable[[jax.Array],
+                                          tuple[jax.Array, jax.Array]],
+                       field_fn: Callable[[jax.Array, jax.Array],
+                                          tuple[jax.Array, jax.Array,
+                                                jax.Array]],
+                       rays: Rays,
+                       *,
+                       aabb: jax.Array | None = None,
+                       n_steps: int = 64,
+                       k_cap: int = 8,
+                       bg_color: jax.Array | None = None) -> RenderOutput:
+    """Eval-only marcher where occupancy and per-cell payload come from ONE
+    gather (the packed warp-cache row doubles as the occupancy bit —
+    VERDICT r1 next-1a). The payload is compacted alongside z, so the
+    field closure never re-gathers per-cell state.
+
+    Args:
+      probe_fn: (M, 3) pts -> (occupied (M,) bool, payload (M, R)).
+      field_fn: ((M', 3) pts, (M', R) payload) -> (rgb, sigma, valid).
+      rays: flat bundle whose near/far should already be TIGHT per-ray
+        bounds (e.g. from the coarse occupancy prepass) — fewer dense
+        steps cover the occupied segment at finer spacing than the
+        reference's 256 over the full [‖t‖-1, ‖t‖+1] span.
+    """
+    o, d = rays.o.reshape(-1, 3), rays.d.reshape(-1, 3)
+    near, far = rays.near.reshape(-1), rays.far.reshape(-1)
+    if aabb is not None:
+        a_near, a_far = ray_aabb(o, d, aabb[0], aabb[1])
+        near = jnp.clip(a_near, near, far)
+        far = jnp.clip(a_far, near, far)
+
+    z, step = sample_z(near, far, n_steps, None)              # (N,S),(N,1)
+    pts = o[:, None] + z[..., None] * d[:, None]              # (N, S, 3)
+
+    occ, payload = probe_fn(pts.reshape(-1, 3))
+    R = payload.shape[-1]
+    valid = occ.reshape(z.shape) & (z < far[..., None])
+
+    idx, keep = compact_samples(valid, k_cap)
+    z_k = jnp.take_along_axis(z, idx, axis=-1)                # (N, K)
+    pts_k = o[:, None] + z_k[..., None] * d[:, None]
+    payload_k = jnp.take_along_axis(
+        payload.reshape(*z.shape, R), idx[..., None], axis=1)
+
+    counter = keep.sum(axis=-1)
+
+    rgb, sigma, f_valid = field_fn(pts_k.reshape(-1, 3),
+                                   payload_k.reshape(-1, R))
+    K = z_k.shape[-1]
+    rgb = rgb.reshape(-1, K, 3)
+    sigma = sigma.reshape(-1, K)
+    keep = keep & f_valid.reshape(-1, K)
+    sigma = jnp.where(keep, sigma, -1e3)
 
     out = composite(sigma, rgb, z_k, step, keep, bg_color)
     return RenderOutput(out.rgb, out.depth, out.alpha,

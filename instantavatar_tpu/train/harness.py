@@ -102,7 +102,8 @@ class Trainer:
                  resume: bool = True,
                  seed: int = 42,
                  eval_chunk: int = 16384,
-                 evaluator=None):
+                 evaluator=None,
+                 lr_schedule=None):
         self.avatar = avatar
         self.dm = datamodule
         self.workdir = Path(workdir)
@@ -114,6 +115,8 @@ class Trainer:
         self.seed = seed
         self.eval_chunk = eval_chunk
         self.evaluator = evaluator
+        # step -> lr, for the LearningRateMonitor-parity train/lr log
+        self.lr_schedule = lr_schedule
         self._writer = None
         self.best_psnr = -np.inf
 
@@ -148,44 +151,54 @@ class Trainer:
                 state = restore_checkpoint(last, state)
                 print(f"[trainer] resumed from {last}")
 
-        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        # the ONLY state.step host read of the loop — after this the step
+        # counter is tracked host-side (a per-step int(state.step) costs a
+        # ~33 ms device sync through the remote-TPU tunnel, PERF.md)
+        step = int(state.step)
+        start_epoch = step // max(steps_per_epoch, 1)
         rng = np.random.default_rng(self.seed)
         t0 = time.time()
-        for epoch in range(start_epoch, self.max_epochs):
-            order = rng.permutation(steps_per_epoch)
-            # host-side prefetch: decode/sample the next batch on a worker
-            # thread while the device runs the current step (the TPU
-            # analog of the reference's 8 dataloader workers,
-            # peoplesnapshot.py:164-171; cv2 releases the GIL)
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                futures = [pool.submit(trainset.__getitem__, int(i))
-                           for i in order[:1]]
+        # host-side prefetch: decode/sample the next batch on a worker
+        # thread while the device runs the current step (the TPU analog of
+        # the reference's 8 dataloader workers, peoplesnapshot.py:164-171;
+        # cv2 releases the GIL). One pool for the whole run — per-epoch
+        # teardown stalls the pipeline at every epoch boundary.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pending = None
+            for epoch in range(start_epoch, self.max_epochs):
+                order = rng.permutation(steps_per_epoch)
                 for n, i in enumerate(order):
+                    if pending is None:
+                        pending = pool.submit(trainset.__getitem__, int(i))
+                    nxt = None
                     if n + 1 < len(order):
-                        futures.append(pool.submit(trainset.__getitem__,
-                                                   int(order[n + 1])))
+                        nxt = pool.submit(trainset.__getitem__,
+                                          int(order[n + 1]))
                     batch = {k: jnp.asarray(v)
-                             for k, v in futures.pop(0).result().items()}
+                             for k, v in pending.result().items()}
+                    pending = nxt
                     key, sub = jax.random.split(key)
-                    state, losses = self.avatar.step(state, batch, sub)
-                    step = int(state.step)
+                    state, losses = self.avatar.step(state, batch, sub,
+                                                     step=step)
+                    step += 1
                     if step % self.log_every == 0:
                         scal = {k: float(v) for k, v in losses.items()
                                 if np.ndim(v) == 0}
+                        if self.lr_schedule is not None:
+                            scal["lr"] = float(self.lr_schedule(step))
                         for k, v in scal.items():
                             self.writer.add_scalar(f"train/{k}", v, step)
                         print(f"[trainer] epoch {epoch} step {step} "
                               f"loss={scal.get('loss', float('nan')):.4f} "
                               f"({time.time() - t0:.0f}s)")
 
-            if (epoch + 1) % self.check_val_every == 0 \
-                    or epoch == self.max_epochs - 1:
-                metrics = self.validate(state, epoch)
-                psnr = metrics.get("psnr", 0.0)
-                save_checkpoint(self.ckpt_dir, state,
-                                {"epoch": epoch, **metrics})
-                self._prune_checkpoints(keep=2)
+                if (epoch + 1) % self.check_val_every == 0 \
+                        or epoch == self.max_epochs - 1:
+                    metrics = self.validate(state, epoch)
+                    save_checkpoint(self.ckpt_dir, state,
+                                    {"epoch": epoch, **metrics})
+                    self._prune_checkpoints(keep=2)
         return state
 
     def _prune_checkpoints(self, keep: int = 2):
@@ -212,35 +225,94 @@ class Trainer:
     # -- validation -----------------------------------------------------------
 
     def validate(self, state: TrainState, epoch: int = 0) -> dict:
+        """Validation pass — TB-panel parity with the reference
+        (DNeRF.py:171-223): rgb loss + counter_avg/counter_max scalars on
+        every val frame (rendered pipelined), plus for frame 0 the
+        progression image, rgb/alpha error heatmaps (``val/errmap``) and a
+        canonical-pose sanity render (``val/cano_pose`` — a deformer
+        failure shows up here before it shows in metrics)."""
         if not hasattr(self.dm, "valset") or len(self.dm.valset) == 0:
             return {}
         ds = self.dm.valset
         H, W = ds.image_shape
-        psnrs = []
-        for i in range(min(len(ds), 2)):
-            batch = ds[i]
-            out = self.avatar.render_frame(state, batch,
-                                           chunk=self.eval_chunk)
+        step = int(state.step)
+        psnrs, rgb_losses, c_avg, c_max = [], [], [], []
+        stash: dict[int, dict] = {}
+
+        def batch_gen():
+            for i in range(len(ds)):
+                b = ds[i]
+                stash[i] = {"rgb": np.asarray(b["rgb"]),
+                            "alpha": np.asarray(b["alpha"])}
+                if i == 0:
+                    stash["b0"] = b
+                yield b
+
+        first = None
+        for i, out in enumerate(self.avatar.render_frames(
+                state, batch_gen(), chunk=self.eval_chunk)):
             pred = out["rgb"].reshape(H, W, 3)
-            gt = np.asarray(batch["rgb"]).reshape(H, W, 3)
+            ref = stash.pop(i)
+            gt = ref["rgb"].reshape(H, W, 3)
             mse = float(np.mean((pred - gt) ** 2))
+            rgb_losses.append(mse)
             psnrs.append(-10 * np.log10(max(mse, 1e-12)))
+            c_avg.append(float(out["counter"].mean()))
+            c_max.append(float(out["counter"].max()))
             if i == 0:
-                err = np.abs(pred - gt).mean(-1, keepdims=True)
-                err = np.repeat(err / max(err.max(), 1e-6), 3, axis=-1)
-                panel = np.concatenate([gt, pred, err], axis=1)
-                self.writer.add_image(
-                    "val/progression", _to_image(panel), epoch,
-                    dataformats="HWC")
-                vdir = self.workdir / "val"
-                vdir.mkdir(parents=True, exist_ok=True)
-                import cv2
-                cv2.imwrite(str(vdir / f"epoch_{epoch:04d}.png"),
-                            _to_image(panel))
+                first = (pred, gt, out["alpha"].reshape(H, W),
+                         ref["alpha"].reshape(H, W))
+
+        if first is not None:
+            import cv2
+            pred, gt, alpha, alpha_gt = first
+            err_rgb = np.sqrt(((pred - gt) ** 2).sum(-1)) / np.sqrt(3)
+            err_rgb = cv2.applyColorMap(
+                (np.clip(err_rgb, 0, 1) * 255).astype(np.uint8),
+                cv2.COLORMAP_JET)[..., ::-1] / 255.0
+            err_a = cv2.applyColorMap(
+                (np.clip(np.abs(alpha - alpha_gt), 0, 1) * 255)
+                .astype(np.uint8), cv2.COLORMAP_JET)[..., ::-1] / 255.0
+            panel = np.concatenate([gt[..., ::-1], err_rgb, err_a], axis=1)
+            self.writer.add_image("val/errmap", _to_image(panel), step,
+                                  dataformats="HWC")
+            prog = np.concatenate([gt, pred], axis=1)
+            self.writer.add_image("val/progression",
+                                  _to_image(prog[..., ::-1]), step,
+                                  dataformats="HWC")
+            vdir = self.workdir / "val"
+            vdir.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(vdir / f"epoch_{epoch:04d}.png"),
+                        _to_image(np.concatenate([gt, pred], axis=1)))
+
+            # canonical-pose sanity render (DNeRF.py:208-222): zeroed body
+            # pose with legs slightly apart, same camera/translation
+            cano = dict(batches[0])
+            bp = np.zeros_like(np.asarray(cano["body_pose"]))
+            bp[..., 2], bp[..., 5] = 0.5, -0.5
+            cano["body_pose"] = bp
+            dist = float(np.linalg.norm(np.asarray(cano["transl"])))
+            n_rays = np.asarray(cano["rays_o"]).reshape(-1, 3).shape[0]
+            cano["near"] = np.full((n_rays,), dist - 1, np.float32)
+            cano["far"] = np.full((n_rays,), dist + 1, np.float32)
+            cano_out = self.avatar.render_frame(state, cano,
+                                                chunk=self.eval_chunk)
+            cano_img = cano_out["rgb"].reshape(H, W, 3)
+            cpanel = np.concatenate([gt, pred, cano_img], axis=1)
+            self.writer.add_image("val/cano_pose",
+                                  _to_image(cpanel[..., ::-1]), step,
+                                  dataformats="HWC")
+
         metrics = {"psnr": float(np.mean(psnrs))}
-        self.writer.add_scalar("val/psnr", metrics["psnr"],
-                               int(state.step))
-        print(f"[trainer] val epoch {epoch}: psnr={metrics['psnr']:.2f}")
+        self.writer.add_scalar("val/psnr", metrics["psnr"], step)
+        self.writer.add_scalar("val/rgb_loss", float(np.mean(rgb_losses)),
+                               step)
+        self.writer.add_scalar("val/counter_avg", float(np.mean(c_avg)),
+                               step)
+        self.writer.add_scalar("val/counter_max", float(np.max(c_max)),
+                               step)
+        print(f"[trainer] val epoch {epoch}: psnr={metrics['psnr']:.2f} "
+              f"counter_avg={np.mean(c_avg):.1f}")
         return metrics
 
     # -- test -------------------------------------------------------------------
@@ -257,12 +329,18 @@ class Trainer:
             from ..utils.metrics import Evaluator
             self.evaluator = Evaluator()
         agg: dict[str, list] = {}
-        for i in range(len(ds)):
-            batch = ds[i]
-            out = self.avatar.render_frame(state, batch,
-                                           chunk=self.eval_chunk)
+        gts: dict[int, np.ndarray] = {}
+
+        def batch_gen():
+            for i in range(len(ds)):
+                b = ds[i]
+                gts[i] = np.asarray(b["rgb"])  # only depth+1 live at once
+                yield b
+
+        for i, out in enumerate(self.avatar.render_frames(
+                state, batch_gen(), chunk=self.eval_chunk)):
             pred = out["rgb"].reshape(H, W, 3)
-            gt = np.asarray(batch["rgb"]).reshape(H, W, 3)
+            gt = gts.pop(i).reshape(H, W, 3)
             err = np.abs(pred - gt).mean(-1, keepdims=True)
             err = np.repeat(err / max(err.max(), 1e-6), 3, axis=-1)
             trip = np.concatenate([gt, pred, err], axis=1)
@@ -272,6 +350,10 @@ class Trainer:
                 agg.setdefault(k, []).append(v)
         results = {k: float(np.mean(v)) for k, v in agg.items()}
         txt = "\n".join(f"{k}: {v}" for k, v in results.items())
+        if "lpips" not in results:
+            reason = getattr(self.evaluator, "lpips_skip_reason", None) \
+                or "no LPIPS evaluator"
+            txt += f"\nlpips: SKIPPED ({reason})"
         (self.workdir / "results.txt").write_text(txt + "\n")
         print(f"[trainer] test: {results}")
         return results

@@ -25,7 +25,7 @@ import optax
 
 from ..body import SMPLModel
 from ..deformers.smpl_deformer import SMPLDeformer
-from ..losses.nerf_loss import nerf_loss
+from ..losses.nerf_loss import nerf_loss, ngp_loss
 from ..models.ngp import NGPField, bbox_center_scale
 from ..render.density_grid import (DensityGridState, initialize_grid,
                                    make_grid_state, occupancy_lookup,
@@ -67,8 +67,15 @@ class AvatarModel:
                  is_refine: bool = False,
                  smpl_init: bool = False,
                  use_warp_cache: bool = True,
-                 warp_refine_iters: int = 1,
+                 cache_n_cand: int = 1,
+                 cache_fused_probe: bool = False,
+                 eval_n_steps: int | None = None,
+                 cell_budget: int | None = None,
+                 prepass_steps: int = 32,
+                 prepass_dilate: int = 3,
+                 prepass_margin_steps: float = 1.5,
                  loss_weights: dict[str, float] | None = None,
+                 lpips_fn=None,
                  optimizer: optax.GradientTransformation | None = None):
         self.field = field or NGPField()
         self.deformer = deformer or SMPLDeformer(body_model)
@@ -80,18 +87,50 @@ class AvatarModel:
         # smpl_init branch)
         self.smpl_init = smpl_init
         self.grid_update_interval = 1 if smpl_init else grid_update_interval
-        # eval acceleration: per-frame inverse-warp bake on occupied cells
-        # (SNARF only; PERF.md item 4). Exactness is restored per sample by
-        # warp_refine_iters Newton steps from the cached candidate.
+        # eval acceleration: per-frame packed inverse-warp bake on occupied
+        # cells (SNARF only; PERF.md). Exactness is restored per sample by
+        # one cached-Newton step (J_inv rides in the cache row).
         self.use_warp_cache = use_warp_cache
-        self.warp_refine_iters = warp_refine_iters
+        # candidates the packed render evaluates per sample (1 = cell-level
+        # max-baked-sigma select; cand_cap = per-sample argmax parity)
+        self.cache_n_cand = cache_n_cand
+        # fused single-gather probe vs split byte-occupancy + row gather at
+        # compacted samples (same semantics; measured choice)
+        self.cache_fused_probe = cache_fused_probe
+        # dense eval samples per ray across the TIGHT prepass span (the
+        # training path keeps n_steps across the full near/far span)
+        self.eval_n_steps = eval_n_steps or min(n_steps, 64)
+        # static occupied-cell capacity for the on-device bake compaction
+        self.cell_budget = cell_budget or max(grid_size ** 3 // 8, 1024)
+        # coarse prepass: few strides against an extra-dilated occupancy
+        # (prepass_dilate 3^3 max-pools guarantee grazing rays cannot step
+        # over the occupied shell at this stride — see _coarse_occupancy)
+        self.prepass_steps = prepass_steps
+        self.prepass_dilate = prepass_dilate
+        # z-span margin in coarse-step units (large => spans degenerate to
+        # the full [near, far], useful to isolate cache-vs-search effects)
+        self.prepass_margin_steps = prepass_margin_steps
         # refine mode disables sigma noise (DNeRF.py:65)
         self.noise_steps = noise_steps if (use_noise and not is_refine) else 0
         self.optimize_smpl = optimize_smpl
         self.is_refine = is_refine
         self.loss_weights = dict(w_rgb=1.0, w_alpha=0.1, w_reg=0.1)
         if loss_weights:
+            known = {"w_rgb", "w_alpha", "w_reg", "w_lpips", "w_depth_reg"}
+            unknown = set(loss_weights) - known
+            if unknown:  # never silently drop loss terms a config requests
+                raise ValueError(
+                    f"unknown loss weight(s) {sorted(unknown)}; "
+                    f"supported: {sorted(known)}")
             self.loss_weights.update(loss_weights)
+        # patch losses (NGPLoss parity, utils/loss.py:27-39): active when
+        # the config requests them; LPIPS needs an injected perceptual net
+        self._use_ngp_loss = (self.loss_weights.get("w_lpips", 0) > 0
+                              or self.loss_weights.get("w_depth_reg", 0) > 0)
+        self.lpips_fn = lpips_fn
+        if self.loss_weights.get("w_lpips", 0) > 0 and lpips_fn is None:
+            raise ValueError("w_lpips > 0 requires an lpips_fn "
+                             "(losses.lpips.load_lpips)")
         self.optimizer = optimizer or optax.adam(1e-2)
 
     # -- state ------------------------------------------------------------
@@ -232,14 +271,20 @@ class AvatarModel:
 
     # -- training ---------------------------------------------------------
 
-    def _density_fn(self, params, center, scale, cano, dstate):
+    def _density_fn(self, params, center, scale, cano, dstate,
+                    eval_mode: bool = False):
         """Grid-update query: full deform + field sigma on SMPL-space pts
         (the reference queries deformer(coords, net) the same way,
         density_grid.py:48-50). Uses the deformer's field closure so it
-        works for both SMPL-NN and SNARF deformers."""
+        works for both SMPL-NN and SNARF deformers.
+
+        eval_mode=False during training updates (the reference runs the
+        deformer under enable_grad, density_grid.py:48-49, so the occupancy
+        regularizer's gradient reaches optimizable SMPL params); True for
+        the no-grad test-grid build."""
         field_fn = self.deformer.make_frame_field_fn(
             cano, dstate, self._net_apply(params, center, scale),
-            eval_mode=True)
+            eval_mode=eval_mode)
 
         def fn(pts):
             _, sigma, valid = field_fn(pts)
@@ -247,11 +292,17 @@ class AvatarModel:
         return fn
 
     def grads_and_losses(self, state: TrainState, batch, key,
-                         with_grid_update: bool = False):
+                         with_grid_update: bool = False, grid_key=None):
         """Gradient computation only — the building block shared by the
         single-chip steps below and the shard_map data-parallel step in
-        parallel/ (which pmeans the returned grads across ray shards)."""
-        return self._grads_impl(state, batch, key, with_grid_update)
+        parallel/ (which pmeans the returned grads across ray shards).
+
+        grid_key: optional PRNG for the occupancy-grid jitter. Ray-DP
+        shards fold their shard index into ``key`` to decorrelate render
+        sampling but must pass the UN-folded key here so every chip
+        computes a bit-identical grid update."""
+        return self._grads_impl(state, batch, key, with_grid_update,
+                                grid_key)
 
     def apply_grads(self, state: TrainState, grads, new_grid):
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
@@ -267,10 +318,12 @@ class AvatarModel:
         return self.apply_grads(state, grads, new_grid), losses
 
     def _grads_impl(self, state: TrainState, batch, key,
-                    with_grid_update: bool):
+                    with_grid_update: bool, grid_key=None):
         noise_std = jnp.where(state.step < self.noise_steps, 1.0, 0.0) \
             if self.noise_steps > 0 else 0.0
         k_render, k_grid = jax.random.split(key)
+        if grid_key is not None:
+            k_grid = jax.random.split(grid_key)[1]
 
         def loss_fn(params):
             rbatch = self._resolve_batch(params, batch)
@@ -309,7 +362,13 @@ class AvatarModel:
                                    grid=new_grid, eval_mode=False,
                                    key=k_render, noise_std=noise_std,
                                    bg_color=rbatch.get("bg_color"))
-            total, losses = nerf_loss(predicts, rbatch, **self.loss_weights)
+            if self._use_ngp_loss:
+                total, losses = ngp_loss(predicts, rbatch,
+                                         lpips_fn=self.lpips_fn,
+                                         **self.loss_weights)
+            else:
+                total, losses = nerf_loss(predicts, rbatch,
+                                          **self.loss_weights)
             # refine mode skips the occupancy reg (DNeRF.py:139)
             if not self.is_refine:
                 total = total + reg
@@ -347,9 +406,15 @@ class AvatarModel:
         (host calls this every ``grid_update_interval`` steps)."""
         return self._step_impl(state, batch, key, with_grid_update=True)
 
-    def step(self, state: TrainState, batch, key):
-        """Host-side dispatcher matching the reference cadence."""
-        if int(state.step) % self.grid_update_interval == 0:
+    def step(self, state: TrainState, batch, key, step: int | None = None):
+        """Host-side dispatcher matching the reference cadence.
+
+        Pass ``step`` (a host-tracked counter) to avoid the device->host
+        sync of reading ``state.step`` every iteration — through the
+        remote-TPU tunnel that read costs ~33 ms/step (PERF.md)."""
+        if step is None:
+            step = int(state.step)
+        if step % self.grid_update_interval == 0:
             return self.train_step_update(state, batch, key)
         return self.train_step(state, batch, key)
 
@@ -367,7 +432,7 @@ class AvatarModel:
         return initialize_grid(
             self.deformer.bbox_deformed(dstate),
             self._density_fn(field_params, state.center, state.scale,
-                             state.deformer_cano, dstate),
+                             state.deformer_cano, dstate, eval_mode=True),
             jax.random.PRNGKey(0), self.grid_size)
 
     def _frame_grid(self, state: TrainState, batch):
@@ -387,193 +452,268 @@ class AvatarModel:
                            key=None, noise_std=0.0, eval_mode=True,
                            bg_color=rbatch.get("bg_color"))
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
-    def _ray_hit_prepass(self, state: TrainState, batch, grid,
-                         dstate=None, coarse_steps: int = 64):
-        """Cheap per-ray occupancy test (no field evals): does any coarse
-        sample along the ray land in an occupied cell of the test grid?
-        Used by render_frame to prune background rays — the static-shape
-        analog of the reference's alive-ray compaction. ~64 grid lookups
-        per ray ≈ 0.1 ms per 292k rays vs ~1 s to fully march them."""
+    def _coarse_occupancy(self, grid: DensityGridState) -> jax.Array:
+        """Extra-dilated occupancy for the coarse ray prepass: the prepass
+        strides ~``span/prepass_steps`` per sample, so the occupied shell
+        must be thicker than one stride or grazing rays slip between
+        samples. Each extra 3^3 max-pool adds one cell (~span/G) of
+        margin per side."""
+        from ..render.density_grid import max_pool3d
+        occ = grid.occupancy
+        for _ in range(self.prepass_dilate):
+            occ = max_pool3d(occ.astype(jnp.uint8)) > 0
+        return occ
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _render_frame_fused(self, state: TrainState, batch, grid,
+                            ray_budget: int, chunk: int,
+                            cell_budget: int | None = None):
+        """ONE-dispatch full-frame render. Per-host-readback latency
+        through the remote-TPU tunnel is ~33 ms while chained async
+        dispatches cost ~2 ms (PERF.md), so the whole frame — deformer
+        bake, coarse ray prepass, packed warp-cache bake, chunked march,
+        full-image scatter — compiles into a single launch whose only
+        sync is the final image fetch (which pipelined callers overlap
+        with the next frame's compute).
+
+        Stages (all static shapes):
+          1. frame bake (prepare) + world->SMPL ray transform;
+          2. coarse occupancy prepass (``prepass_steps`` strides against
+             the extra-dilated grid) -> per-ray (hit, z_lo, z_hi): the
+             static-shape analog of the reference's alive-ray compaction
+             + per-ray ``nears`` advance (raymarcher_acc.py:108-127,
+             raymarcher.cu:13-73);
+          3. hit rays compact ON-DEVICE into a static ``ray_budget``
+             (jnp.nonzero(size=...)); overflow is reported via ``n_hit``;
+          4. packed inverse-warp cache bake on occupied cells (SNARF);
+          5. lax.map over ``ray_budget/chunk`` chunks: dense samples over
+             the TIGHT [z_lo, z_hi] span, fused occupancy+candidate
+             gather, cumsum compaction to k_cap, cached-Newton refine +
+             field eval, masked composite;
+          6. scatter results into full-frame buffers (background fill
+             elsewhere).
+
+        Returns (outputs dict over all n rays, n_hit, n_occ) — n_hit/n_occ
+        let the caller detect ray/cell budget overflows and re-render.
+        """
+        cell_budget = cell_budget or self.cell_budget
         rbatch = self._resolve_batch(state.params, batch)
-        if dstate is None:
-            dstate = self._prepare(state.deformer_cano, rbatch)
+        dstate = self._prepare(state.deformer_cano, rbatch)
         rays = Rays(o=rbatch["rays_o"], d=rbatch["rays_d"],
                     near=rbatch["near"], far=rbatch["far"])
         rays_s = self.deformer.transform_rays_w2s(dstate, rays)
+        n = rays_s.o.shape[0]
         aabb = grid.aabb
-        from ..render.raymarcher import ray_aabb, sample_z
+        from ..render.raymarcher import (ray_aabb, render_rays,
+                                         render_rays_probed, sample_z)
+
+        # -- 2. coarse prepass --------------------------------------------
         near, far = ray_aabb(rays_s.o, rays_s.d, aabb[0], aabb[1])
         near = jnp.clip(near, rays_s.near, rays_s.far)
         far = jnp.clip(far, near, rays_s.far)
-        z, _ = sample_z(near, far, coarse_steps, None)
+        z, step = sample_z(near, far, self.prepass_steps, None)
         pts = rays_s.o[:, None] + z[..., None] * rays_s.d[:, None]
-        occ = occupancy_lookup(grid, pts.reshape(-1, 3)).reshape(z.shape)
-        return (occ & (z < far[..., None])).any(axis=-1)
+        coarse = grid._replace(occupancy=self._coarse_occupancy(grid))
+        occ = occupancy_lookup(coarse, pts.reshape(-1, 3)).reshape(z.shape)
+        occ = occ & (z < far[..., None])
+        hit = occ.any(axis=-1)
+        margin = self.prepass_margin_steps * step[:, 0]
+        z_lo = jnp.maximum(jnp.where(occ, z, jnp.inf).min(axis=-1) - margin,
+                           near)
+        z_hi = jnp.minimum(jnp.where(occ, z, -jnp.inf).max(axis=-1) + margin,
+                           far)
+        z_lo = jnp.minimum(z_lo, z_hi)
+        n_hit = hit.sum()
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _prepare_jit(self, state: TrainState, batch):
-        """Once-per-frame deformer bake (hoisted out of the per-chunk
-        jits — the SNARF prepare einsum reads the full 50 MB LBS voxel
-        and must not re-run per chunk, PERF.md)."""
-        rbatch = self._resolve_batch(state.params, batch)
-        return self._prepare(state.deformer_cano, rbatch)
+        # -- 3. on-device hit-ray compaction --------------------------------
+        (ray_idx,) = jnp.nonzero(hit, size=ray_budget, fill_value=n)
+        rmask = ray_idx < n
+        safe = jnp.where(rmask, ray_idx, 0)
+        bg = rbatch.get("bg_color")
+        if bg is not None:
+            bg = jnp.broadcast_to(bg.reshape(-1, 3), (n, 3))
+        sel = {
+            "o": rays_s.o[safe], "d": rays_s.d[safe],
+            "z_lo": z_lo[safe], "z_hi": z_hi[safe],
+            "near": rays_s.near[safe], "far": rays_s.far[safe],
+            "bg": (bg[safe] if bg is not None
+                   else jnp.ones((ray_budget, 3))),
+        }
+        n_chunks = ray_budget // chunk
+        sel = jax.tree.map(
+            lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), sel)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _bake_warp_cache(self, state: TrainState, dstate, centers):
-        """Jitted per-frame inverse-warp bake over (padded) occupied-cell
-        centers."""
-        return self.deformer.bake_warp_cache(state.deformer_cano, dstate,
-                                             centers)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def _render_chunks_cached(self, state: TrainState, chunked, grid,
-                              cache_xc, cache_valid, dstate):
-        """Single-dispatch chunked render through the inverse-warp cache
-        (per-sample cost: 1 cell lookup + warp_refine_iters trilerp rows
-        instead of a full Broyden search)."""
         field_params = state.params["field"] \
             if isinstance(state.params, dict) else state.params
-        field_fn = self.deformer.make_cached_field_fn(
-            state.deformer_cano, dstate, cache_xc, cache_valid, grid.aabb,
-            self._net_apply(field_params, state.center, state.scale),
-            self.grid_size, self.warp_refine_iters)
+        net = self._net_apply(field_params, state.center, state.scale)
 
-        def one(rays):
-            from ..render.raymarcher import render_rays
-            rays_s = self.deformer.transform_rays_w2s(
-                dstate, Rays(o=rays["rays_o"], d=rays["rays_d"],
-                             near=rays["near"], far=rays["far"]))
-            out = render_rays(
-                field_fn, rays_s,
-                occupancy_fn=lambda pts: occupancy_lookup(grid, pts),
-                aabb=grid.aabb, n_steps=self.n_steps, k_cap=self.k_cap,
-                key=None, noise_std=0.0, bg_color=rays.get("bg_color"))
-            return {"rgb": out.rgb, "depth": out.depth, "alpha": out.alpha,
-                    "counter": out.counter}
+        use_cache = (self.use_warp_cache
+                     and hasattr(self.deformer, "bake_packed_cache"))
+        if use_cache:
+            # -- 4. packed warp-cache bake ----------------------------------
+            G = self.grid_size
+            occ_flat = grid.occupancy.reshape(-1)
+            n_occ = occ_flat.sum()
+            (cell_idx,) = jnp.nonzero(occ_flat, size=cell_budget,
+                                      fill_value=G ** 3)
+            cmask = cell_idx < G ** 3
+            csafe = jnp.where(cmask, cell_idx, 0)
+            span = aabb[1] - aabb[0]
+            ijk = jnp.stack([csafe // (G * G), (csafe // G) % G, csafe % G],
+                            axis=-1).astype(jnp.float32)
+            centers = aabb[0] + (ijk + 0.5) / G * span
+            rows = self.deformer.bake_packed_cache(
+                state.deformer_cano, dstate, centers,
+                net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask)
+            cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
+                .at[cell_idx].set(rows, mode="drop")
+            probe_fn, pfield_fn, occ_fn, field_pts = \
+                self.deformer.make_packed_cache_fns(
+                    cache, aabb, G, net, self.cache_n_cand)
 
-        return jax.lax.map(one, chunked["rays"])
+            def one(r):
+                rays_t = Rays(o=r["o"], d=r["d"], near=r["z_lo"],
+                              far=r["z_hi"])
+                if self.cache_fused_probe:
+                    out = render_rays_probed(
+                        probe_fn, pfield_fn, rays_t,
+                        aabb=aabb, n_steps=self.eval_n_steps,
+                        k_cap=self.k_cap or self.eval_n_steps,
+                        bg_color=r["bg"])
+                else:
+                    out = render_rays(
+                        field_pts, rays_t, occupancy_fn=occ_fn,
+                        aabb=aabb, n_steps=self.eval_n_steps,
+                        k_cap=self.k_cap or self.eval_n_steps,
+                        key=None, noise_std=0.0, bg_color=r["bg"])
+                return {"rgb": out.rgb, "depth": out.depth,
+                        "alpha": out.alpha, "counter": out.counter}
+        else:
+            # non-SNARF / cache-off fallback: full deform per sample over
+            # the reference-parity [near, far] span
+            n_occ = jnp.int32(0)  # no bake => no cell-budget overflow
+            field_fn = self.deformer.make_frame_field_fn(
+                state.deformer_cano, dstate, net, eval_mode=True)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _render_chunks(self, state: TrainState, chunked, grid, dstate):
-        """Render (n_chunks, chunk, ...) ray bundles in ONE dispatch —
-        a lax.map over chunks inside jit. Per-dispatch latency through
-        remote TPU links is ~tens of ms (PERF.md), so the per-frame loop
-        must not dispatch per chunk."""
-        rbatch = self._resolve_batch(state.params, chunked["frame"])
-        field_params = state.params["field"] \
-            if isinstance(state.params, dict) else state.params
+            def one(r):
+                out = render_rays(
+                    field_fn,
+                    Rays(o=r["o"], d=r["d"], near=r["near"],
+                         far=r["far"]),
+                    occupancy_fn=lambda p: occupancy_lookup(grid, p),
+                    aabb=aabb, n_steps=self.n_steps, k_cap=self.k_cap,
+                    key=None, noise_std=0.0, bg_color=r["bg"])
+                return {"rgb": out.rgb, "depth": out.depth,
+                        "alpha": out.alpha, "counter": out.counter}
 
-        def one(rays):
-            sub = dict(rbatch)
-            sub.update(rays)
-            out = self.render(field_params, state.center, state.scale, sub,
-                              cano=state.deformer_cano, dstate=dstate,
-                              grid=grid, key=None, noise_std=0.0,
-                              eval_mode=True, bg_color=rays.get("bg_color"))
-            out.pop("weights", None)
-            return out
+        chunk_out = jax.lax.map(one, sel)
+        flat = jax.tree.map(
+            lambda x: x.reshape(ray_budget, *x.shape[2:]), chunk_out)
 
-        return jax.lax.map(one, chunked["rays"])
+        # -- 6. full-frame scatter ------------------------------------------
+        full = {
+            "rgb": (bg if bg is not None else jnp.ones((n, 3))),
+            "depth": jnp.zeros((n,)),
+            "alpha": jnp.zeros((n,)),
+            "counter": jnp.zeros((n,), jnp.int32),
+        }
+        out = {k: full[k].at[ray_idx].set(flat[k], mode="drop")
+               for k in full}
+        return out, n_hit, n_occ
+
+    @staticmethod
+    def _round_budget(m: int, chunk: int) -> tuple[int, int]:
+        """(budget, chunk) with budget the next chunk multiple of m (the
+        budget is static per (resolution, frac) — no pow2 inflation; a
+        pow2 count here cost 80% wasted rays at 540px)."""
+        chunk = min(chunk, 1 << (max(m, 1) - 1).bit_length())
+        n_chunks = max(1, -(-m // chunk))
+        return n_chunks * chunk, chunk
 
     def render_frame(self, state: TrainState, batch,
                      chunk: int = 32768,
                      prune_rays: bool = True,
                      grid: DensityGridState | None = None,
-                     image_shape: tuple[int, int] | None = None
+                     image_shape: tuple[int, int] | None = None,
+                     ray_budget_frac: float = 0.5
                      ) -> dict[str, jax.Array]:
-        """Full-frame inference: build the test grid once, prune rays that
-        cannot hit the body (host-side dynamic selection — free outside
-        jit), then render the surviving rays in fixed-size chunks
-        (render_image_fast analog, DNeRF.py:72-97)."""
-        import numpy as np
+        """Full-frame inference (render_image_fast analog, DNeRF.py:72-97):
+        test-grid build + one fused render dispatch + one host fetch.
+
+        ``ray_budget_frac`` sizes the static hit-ray capacity; when a frame
+        overflows it (body covers more pixels than budgeted), the frame is
+        transparently re-rendered with the full-ray budget (one extra
+        compile the first time it happens).
+        """
+        return self._finish_frame(self._render_frame_async(
+            state, batch, chunk, prune_rays, grid, ray_budget_frac))
+
+    def _render_frame_async(self, state: TrainState, batch,
+                            chunk: int = 32768,
+                            prune_rays: bool = True,
+                            grid: DensityGridState | None = None,
+                            ray_budget_frac: float = 0.5):
+        """Enqueue a full frame WITHOUT forcing a host sync; returns an
+        in-flight record for ``_finish_frame`` — callers that render frame
+        sequences overlap the fetch of frame i with the compute of frame
+        i+1 (render_frames)."""
         if grid is None:
             grid = self.build_test_grid(state, batch)
         n = batch["rays_o"].shape[0]
-
-        per_ray = ("rays_o", "rays_d", "near", "far", "rgb", "alpha",
-                   "bg_color")
-        # once-per-frame deformer bake, shared by prepass/bake/chunks
-        dstate = self._prepare_jit(
-            state, {k: jnp.asarray(v) if hasattr(v, "shape") else v
-                    for k, v in batch.items() if k not in per_ray})
-
+        fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
+                  for k, v in batch.items() if k not in ("rgb", "alpha")}
         if prune_rays:
-            hit = np.asarray(self._ray_hit_prepass(state, batch, grid,
-                                                   dstate))
-            sel = np.nonzero(hit)[0]
+            budget, chunk_eff = self._round_budget(
+                max(int(n * ray_budget_frac), 1), chunk)
+            full_budget = self._round_budget(n, chunk)[0]
+            budget = min(budget, full_budget)
         else:
-            sel = np.arange(n)
+            budget, chunk_eff = self._round_budget(n, chunk)
+        out, n_hit, n_occ = self._render_frame_fused(state, fbatch, grid,
+                                                     budget, chunk_eff)
+        return dict(out=out, n_hit=n_hit, n_occ=n_occ, state=state,
+                    fbatch=fbatch, grid=grid, chunk=chunk, budget=budget,
+                    cell_budget=self.cell_budget)
 
-        bg = batch.get("bg_color")
-        out_full = {
-            "rgb": (np.asarray(bg, np.float32).reshape(n, 3).copy()
-                    if bg is not None else np.ones((n, 3), np.float32)),
-            "depth": np.zeros((n,), np.float32),
-            "alpha": np.zeros((n,), np.float32),
-            "counter": np.zeros((n,), np.int32),
-        }
-        if len(sel) == 0:
-            return out_full
+    def _finish_frame(self, rec) -> dict:
+        """Fetch an in-flight frame; transparently re-renders when the hit
+        count overflowed the static ray budget (body covering more pixels
+        than budgeted) or the occupied-cell count overflowed the bake's
+        cell budget — rare, one extra compile the first time each
+        overflow size appears."""
+        import numpy as np
+        n = rec["fbatch"]["rays_o"].shape[0]
+        ray_over = rec["budget"] < n and int(rec["n_hit"]) > rec["budget"]
+        cell_over = int(rec["n_occ"]) > rec["cell_budget"]
+        if ray_over or cell_over:
+            budget, chunk_eff = ((self._round_budget(n, rec["chunk"]))
+                                 if ray_over
+                                 else (rec["budget"],
+                                       min(rec["chunk"], rec["budget"])))
+            cell_budget = rec["cell_budget"]
+            if cell_over:
+                cell_budget = 1 << (int(rec["n_occ"]) - 1).bit_length()
+            out, _, _ = self._render_frame_fused(
+                rec["state"], rec["fbatch"], rec["grid"], budget,
+                chunk_eff, cell_budget)
+            rec["out"] = out
+        return {k: np.asarray(v) for k, v in rec["out"].items()}
 
-        sel_batch = dict(batch)
-        for k in per_ray:
-            if k in sel_batch and hasattr(sel_batch[k], "shape") \
-                    and sel_batch[k].shape[:1] == (n,):
-                sel_batch[k] = np.asarray(sel_batch[k])[sel]
-
-        m = len(sel)
-        # pad the surviving-ray count to a whole number of chunks, rounded
-        # up to a power of two of chunks to bound jit retraces across frames
-        n_chunks = max(1, -(-m // chunk))
-        n_chunks = 1 << (n_chunks - 1).bit_length()
-        total = n_chunks * chunk
-        rays = {}
-        for k in per_ray:
-            v = sel_batch.get(k)
-            if v is not None and hasattr(v, "shape") and v.shape[:1] == (m,):
-                v = np.asarray(v)
-                v = np.concatenate(
-                    [v, np.repeat(v[-1:], total - m, axis=0)]) \
-                    if total > m else v[:total]
-                rays[k] = jnp.asarray(
-                    v.reshape(n_chunks, chunk, *v.shape[1:]))
-        frame = {k: jnp.asarray(v) if hasattr(v, "shape") else v
-                 for k, v in batch.items() if k not in per_ray}
-        use_cache = (self.use_warp_cache
-                     and hasattr(self.deformer, "bake_warp_cache"))
-        if use_cache:
-            G = self.grid_size
-            occ_flat = np.asarray(grid.occupancy).reshape(-1)
-            occ_idx = np.nonzero(occ_flat)[0]
-            if len(occ_idx) == 0:
-                occ_idx = np.array([0])
-            budget = 1 << (len(occ_idx) - 1).bit_length()
-            pad_idx = np.concatenate(
-                [occ_idx, np.repeat(occ_idx[:1], budget - len(occ_idx))])
-            i0 = pad_idx // (G * G)
-            i1 = (pad_idx // G) % G
-            i2 = pad_idx % G
-            aabb = np.asarray(grid.aabb)
-            span = aabb[1] - aabb[0]
-            centers = np.stack([
-                aabb[0][0] + (i0 + 0.5) / G * span[0],
-                aabb[0][1] + (i1 + 0.5) / G * span[1],
-                aabb[0][2] + (i2 + 0.5) / G * span[2]], axis=-1)
-            xc_c, valid_c = self._bake_warp_cache(
-                state, dstate, jnp.asarray(centers, jnp.float32))
-            K = xc_c.shape[1]
-            cache_xc = jnp.zeros((G ** 3, K, 3)).at[pad_idx].set(xc_c)
-            cache_valid = jnp.zeros((G ** 3, K), bool).at[pad_idx] \
-                .set(valid_c)
-            out = self._render_chunks_cached(
-                state, {"frame": frame, "rays": rays}, grid,
-                cache_xc, cache_valid, dstate)
-        else:
-            out = self._render_chunks(state, {"frame": frame,
-                                              "rays": rays}, grid, dstate)
-        merged = {k: np.asarray(v).reshape(total, *v.shape[2:])[:m]
-                  for k, v in out.items()}
-        for k in out_full:
-            out_full[k][sel] = merged[k]
-        return out_full
+    def render_frames(self, state: TrainState, batches,
+                      chunk: int = 32768,
+                      grid: DensityGridState | None = None,
+                      depth: int = 2,
+                      ray_budget_frac: float = 0.5):
+        """Pipelined frame-sequence renderer (animate/novel_view/bench):
+        keeps ``depth`` frames in flight so the ~33 ms host-fetch latency
+        of frame i overlaps frame i+1's on-device compute (the TPU analog
+        of overlapping bake_{n+1} with render_n). Yields numpy dicts."""
+        inflight = []
+        for batch in batches:
+            inflight.append(self._render_frame_async(
+                state, batch, chunk=chunk, grid=grid,
+                ray_budget_frac=ray_budget_frac))
+            if len(inflight) >= depth:
+                yield self._finish_frame(inflight.pop(0))
+        for rec in inflight:
+            yield self._finish_frame(rec)

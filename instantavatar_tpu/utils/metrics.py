@@ -11,6 +11,8 @@ that module).
 """
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,15 +67,37 @@ def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
 
 class Evaluator:
     """PSNR/SSIM/LPIPS over NHWC fp32 images in [0, 1]; predictions are
-    clamped to <= 1 like the reference (eval.py:28-33)."""
+    clamped to <= 1 like the reference (eval.py:28-33).
+
+    LPIPS runs only with numerically-matched weights (real alex trunk +
+    the shipped exact heads); otherwise it is skipped with a LOUD one-time
+    warning and ``lpips_skip_reason`` records why (surfaced into
+    results.txt by the harness)."""
 
     def __init__(self, lpips_fn=None):
+        self.lpips_skip_reason = None
         if lpips_fn is None:
             try:
                 from ..losses.lpips import load_lpips
                 lpips_fn = load_lpips(net="alex")
-            except Exception:
+                if not lpips_fn.numerically_matched:
+                    self.lpips_skip_reason = (
+                        "LPIPS weights are not numerically matched "
+                        "(random/partial trunk)")
+                    lpips_fn = None
+            except FileNotFoundError as e:
+                self.lpips_skip_reason = str(e)
                 lpips_fn = None
+            except Exception as e:  # malformed weights etc.
+                self.lpips_skip_reason = f"LPIPS init failed: {e!r}"
+                lpips_fn = None
+            if lpips_fn is None:
+                warnings.warn(
+                    "Evaluator: LPIPS column will be OMITTED — "
+                    + str(self.lpips_skip_reason)
+                    + ". Provide a torchvision alexnet state dict via "
+                    "INSTANTAVATAR_LPIPS_WEIGHTS to enable it.",
+                    stacklevel=2)
         self.lpips_fn = lpips_fn
         self._psnr = jax.jit(psnr)
         self._ssim = jax.jit(ssim)

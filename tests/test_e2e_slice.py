@@ -219,3 +219,79 @@ def test_e2e_smpl_init_per_frame_grids(seq_dir, toy_model):
     b = {k: jnp.asarray(v) for k, v in val[0].items()}
     out = avatar.eval_rays(state, b, avatar._frame_grid(state, b))
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
+    """VERDICT r1 acceptance: the packed warp-cache render (fused
+    occupancy+candidate gather, cached-Newton refine, cell-level max-sigma
+    select) must pixel-match the uncached full-Broyden render path on a
+    trained avatar."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+
+    def make(use_cache, tight_spans=False):
+        return AvatarModel(
+            toy_model, field,
+            SNARFDeformer(toy_model, resolution=32, cano_pose="da_pose",
+                          knn_chunk=4096),
+            n_steps=64, k_cap=16, grid_size=32, grid_update_interval=10,
+            noise_steps=0, use_warp_cache=use_cache, cache_n_cand=4,
+            eval_n_steps=64,
+            # huge margin degenerates the tight spans to [near, far] so
+            # cached and uncached paths sample identical z grids and the
+            # comparison isolates the warp cache itself
+            prepass_margin_steps=1.5 if tight_spans else 1e6,
+            optimizer=optax.adam(5e-3))
+
+    avatar = make(True)
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=4, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(8)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    key = jax.random.PRNGKey(17)
+    for i in range(60):
+        batch = {k: jnp.asarray(v) for k, v in train[i % len(train)].items()}
+        key, sub = jax.random.split(key)
+        state, _ = avatar.step(state, batch, sub)
+
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+    img_full = make(False).render_frame(state, b, chunk=1024)["rgb"]
+    assert np.isfinite(img_full).all()
+
+    def match_psnr(img):
+        assert np.isfinite(img).all()
+        mse = float(np.mean((img - img_full) ** 2))
+        return -10 * np.log10(max(mse, 1e-12))
+
+    # identical z-sampling => the cache itself must be a near-exact
+    # stand-in for the per-sample Broyden search
+    img_cached = avatar.render_frame(state, b, chunk=1024)["rgb"]
+    assert match_psnr(img_cached) > 30.0, match_psnr(img_cached)
+    # production config (tight spans): sampling differs, images must
+    # still closely agree
+    img_tight = make(True, tight_spans=True).render_frame(
+        state, b, chunk=1024)["rgb"]
+    assert match_psnr(img_tight) > 25.0, match_psnr(img_tight)
+
+
+def test_render_frames_pipelined_matches_single(seq_dir, toy_model):
+    """The pipelined multi-frame renderer must produce the same images as
+    frame-by-frame render_frame."""
+    avatar = _make_avatar(toy_model, k_cap=16)
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=2, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(4)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    val = AvatarDataset(seq_dir, "val", start=0, end=1)
+    batches = [{k: jnp.asarray(v) for k, v in val[i].items()}
+               for i in range(2)]
+    singles = [avatar.render_frame(state, b, chunk=1024) for b in batches]
+    piped = list(avatar.render_frames(state, batches, chunk=1024))
+    assert len(piped) == 2
+    for s, p in zip(singles, piped):
+        np.testing.assert_allclose(s["rgb"], p["rgb"], atol=1e-5)

@@ -181,9 +181,10 @@ def test_version2_gradients(toy, canonical):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
-def test_warp_cache_matches_full_search(snarf, canonical):
-    """The inverse-warp cache + 1 Newton refinement must reproduce the
-    full per-sample Broyden correspondences for near-cell points."""
+def test_packed_cache_matches_full_search(snarf, canonical):
+    """The packed inverse-warp cache (per-cell [xc, J_inv, valid] rows) +
+    one cached-Newton step must reproduce the full per-sample Broyden
+    correspondences for near-cell points."""
     rng = np.random.RandomState(11)
     pose = jnp.asarray(0.25 * rng.randn(69).astype(np.float32))
     frame = snarf.prepare(canonical, jnp.zeros((1, 10)), pose,
@@ -194,17 +195,64 @@ def test_warp_cache_matches_full_search(snarf, canonical):
                                      canonical.vs_template[::16])
     samples = centers + 0.01 * rng.randn(*centers.shape).astype(np.float32)
 
-    cache_xc, cache_valid = snarf.bake_warp_cache(canonical, frame, centers)
-    xc_ref, valid_ref, _ = snarf.search(canonical, frame, samples)
+    rows = snarf.bake_packed_cache(canonical, frame, centers)
+    C = centers.shape[0]
+    K = rows.shape[-1] // snarf.ROW_FLOATS
+    r = rows.reshape(C, K, snarf.ROW_FLOATS)
+    xc0 = r[..., 0:3]
+    Ji = r[..., 3:12].reshape(C, K, 3, 3)
+    valid = r[..., 12] > 0.5
+    # the cached-Newton refine (make_packed_cache_fns math, with the cell
+    # center known exactly here)
+    delta = samples - centers
+    xc_fast = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, delta)
 
-    xc_fast, valid_fast = snarf.refine_from_cache(
-        canonical, frame, samples, cache_xc, cache_valid, n_refine=1)
-
-    # compare best-candidate forward-skinned positions (both should land
-    # on the sample)
     xd_fast = snarf.forward_skinning(canonical, frame.tfs, xc_fast)
-    err = jnp.where(valid_fast,
+    err = jnp.where(valid,
                     jnp.linalg.norm(xd_fast - samples[:, None], axis=-1),
                     0.0)
-    assert float(valid_fast.any(-1).mean()) > 0.9
+    assert float(valid.any(-1).mean()) > 0.9
     assert float(err.max()) < 5e-3, float(err.max())
+
+
+def test_packed_cache_field_fns(snarf, canonical):
+    """probe_fn must report occupancy only for cells with valid baked
+    candidates; field_fn must evaluate the net at the refined canonical
+    points."""
+    rng = np.random.RandomState(3)
+    frame = snarf.prepare(canonical, jnp.zeros((1, 10)),
+                          jnp.asarray(0.1 * rng.randn(69), jnp.float32),
+                          jnp.zeros(3), jnp.zeros(3))
+    verts = snarf.forward_skinning(canonical, frame.tfs,
+                                   canonical.vs_template[::8])
+    vmin = np.asarray(verts).min(0) - 0.1
+    vmax = np.asarray(verts).max(0) + 0.1
+    aabb = jnp.asarray(np.stack([vmin, vmax]))
+    G = 16
+    # bake on the cells containing the posed verts
+    rel = (verts - aabb[0]) / (aabb[1] - aabb[0])
+    cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
+    flat = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+    flat_u = np.unique(np.asarray(flat))
+    span = aabb[1] - aabb[0]
+    ijk = np.stack([flat_u // (G * G), (flat_u // G) % G, flat_u % G],
+                   -1).astype(np.float32)
+    centers = np.asarray(aabb[0]) + (ijk + 0.5) / G * np.asarray(span)
+    rows = snarf.bake_packed_cache(canonical, frame,
+                                   jnp.asarray(centers))
+    cache = jnp.zeros((G ** 3, rows.shape[-1])).at[flat_u].set(rows)
+
+    def net(x):
+        return jnp.ones((x.shape[0], 3)) * 0.5, jnp.linalg.norm(x, axis=-1)
+
+    probe_fn, field_fn = snarf.make_packed_cache_fns(cache, aabb, G, net,
+                                                     n_cand=1)
+    occ, payload = probe_fn(verts)
+    assert float(occ.mean()) > 0.8  # most vert cells baked valid
+    rgb, sigma, ok = field_fn(verts, payload)
+    assert rgb.shape == (verts.shape[0], 3)
+    assert np.isfinite(np.asarray(sigma)[np.asarray(ok)]).all()
+    # far-away points: unoccupied
+    far_pts = verts + 10.0
+    occ_far, _ = probe_fn(far_pts)
+    assert not bool(occ_far.any())

@@ -82,3 +82,67 @@ def test_evaluator_surface():
     pred = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
     out = ev(pred, pred)
     assert out["psnr"] > 60 and abs(out["ssim"] - 1.0) < 1e-4
+
+
+def test_torch_reader_reads_reference_heads():
+    """Torch-free .pth reader must decode the legacy-format LPIPS head
+    bundles exactly (vs the shipped npz extracted by
+    scripts/extract_lpips_heads.py)."""
+    from pathlib import Path
+
+    from instantavatar_tpu.losses import lpips as L
+    from instantavatar_tpu.utils.torch_reader import load_torch_weights
+
+    src = Path("/root/reference/third_parties/lpips/weights/v0.1/vgg.pth")
+    if not src.exists():
+        import pytest
+        pytest.skip("reference weights not mounted")
+    state = load_torch_weights(str(src))
+    shipped = np.load(L._WEIGHTS_DIR / "lpips_heads_vgg.npz")
+    for i in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(state[f"lin{i}.model.1.weight"]).reshape(-1),
+            shipped[f"head{i}"])
+
+
+def test_torch_reader_zip_format(tmp_path):
+    import pytest
+    torch = pytest.importorskip("torch")
+    from instantavatar_tpu.utils.torch_reader import load_torch_weights
+    sd = {"w": torch.arange(12, dtype=torch.float32).reshape(3, 4),
+          "b": torch.tensor([True, False])}
+    p = tmp_path / "m.pth"
+    torch.save(sd, str(p))
+    back = load_torch_weights(str(p))
+    np.testing.assert_array_equal(back["w"], sd["w"].numpy())
+    np.testing.assert_array_equal(back["b"], sd["b"].numpy())
+
+
+def test_lpips_uses_shipped_exact_heads():
+    from instantavatar_tpu.losses import lpips as L
+    lp = L.load_lpips("vgg", allow_random=True)
+    shipped = np.load(L._WEIGHTS_DIR / "lpips_heads_vgg.npz")
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(lp.params.heads[i]),
+                                      shipped[f"head{i}"])
+    # random trunk => NOT numerically matched; Evaluator must skip + say why
+    assert not lp.numerically_matched
+    ev = Evaluator()
+    if ev.lpips_fn is None:
+        assert ev.lpips_skip_reason
+
+
+def test_lpips_bgr_flip_changes_distance():
+    """LPIPS flips BGR->RGB internally (reference loss.py:28); a
+    channel-asymmetric image pair must yield a different distance when the
+    flip is disabled."""
+    from instantavatar_tpu.losses.lpips import load_lpips
+    lp = load_lpips("vgg", allow_random=True)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    b = a.at[..., 0].set(0.0)  # kill only the blue (cv2) channel
+    d_bgr = float(lp(a, b)[0])
+    lp.expect_bgr = False
+    d_rgb = float(lp(a, b)[0])
+    assert np.isfinite(d_bgr) and np.isfinite(d_rgb)
+    assert abs(d_bgr - d_rgb) > 1e-6

@@ -126,7 +126,7 @@ def test_multi_subject_independence(toy):
         new_st, _ = avatar.train_step(st, b, k)
         singles.append(new_st)
 
-    mesh = make_mesh(n_ray=2, n_subject=4)
+    mesh = make_mesh(n_ray=1, n_subject=4)
     stacked = stack_subjects(states)
     sbatches = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     skeys = jnp.stack(keys)
@@ -139,3 +139,47 @@ def test_multi_subject_independence(toy):
         b = singles[i].params
         for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_allclose(la, np.asarray(lb), atol=2e-5)
+
+
+def test_combined_subject_ray_mesh(toy):
+    """Combined (2 subjects x 4 ray shards) step must match, per subject,
+    an independent 1x4 ray-DP step on that subject's batch (same shard
+    count => identical per-shard jitter keys => bit-identical math)."""
+    avatar = _tiny_avatar(toy)
+    n_sub, n_ray = 2, 4
+    states = [avatar.init(jax.random.PRNGKey(i), jnp.zeros((1, 10)))
+              for i in range(n_sub)]
+    batches = [_ray_batch(32, seed=10 + i) for i in range(n_sub)]
+    keys = [jax.random.PRNGKey(200 + i) for i in range(n_sub)]
+
+    # reference: each subject on its own 1x4 ray-DP mesh (with grid update
+    # so the grid_key path is exercised too)
+    singles = []
+    dp_mesh = make_mesh(n_ray=n_ray, n_subject=1,
+                        devices=jax.devices()[:n_ray])
+    with dp_mesh:
+        dstep = make_dp_train_step(avatar, dp_mesh, with_grid_update=True)
+        for st, b, k in zip(states, batches, keys):
+            new_st, _ = dstep(st, shard_batch(dp_mesh, b), k)
+            singles.append(jax.tree.map(np.asarray, new_st))
+
+    mesh = make_mesh(n_ray=n_ray, n_subject=n_sub)
+    assert mesh.shape == {"subject": n_sub, "ray": n_ray}
+    stacked = stack_subjects(states)
+    sbatches = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    skeys = jnp.stack(keys)
+    with mesh:
+        cstep = make_multi_subject_step(avatar, mesh,
+                                        with_grid_update=True)
+        new_states, closses = cstep(stacked, sbatches, skeys)
+
+    assert np.isfinite(np.asarray(closses["loss"])).all()
+    for i in range(n_sub):
+        a = jax.tree.map(lambda x: np.asarray(x)[i], new_states.params)
+        for la, lb in zip(jax.tree.leaves(a),
+                          jax.tree.leaves(singles[i].params)):
+            np.testing.assert_allclose(la, lb, atol=2e-5)
+        # occupancy grids agree too (bit-identical update per shard)
+        np.testing.assert_array_equal(
+            np.asarray(new_states.grid.occupancy)[i],
+            singles[i].grid.occupancy)

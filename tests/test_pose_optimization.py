@@ -129,3 +129,53 @@ def test_refine_freezes_field(tmp_path):
     moved = np.abs(np.asarray(state.params["smpl"].transl)
                    - gt["transl"]).sum()
     assert moved > 0
+
+
+def test_unknown_loss_weight_raises():
+    toy = toy_smpl_model()
+    with pytest.raises(ValueError, match="unknown loss weight"):
+        AvatarModel(toy, loss_weights={"w_bogus": 1.0})
+    with pytest.raises(ValueError, match="lpips_fn"):
+        AvatarModel(toy, loss_weights={"w_lpips": 0.01})
+
+
+def test_fitting_trains_with_patch_losses(tmp_path):
+    """The SNARF_NGP_fitting objective (reference NGPLoss,
+    utils/loss.py:27-46): all five terms — rgb/alpha/reg + patch LPIPS +
+    depth regularizer — must appear in the logged losses and the total
+    must reduce."""
+    from instantavatar_tpu.losses.lpips import load_lpips
+
+    root = make_synthetic_sequence(tmp_path / "seqL", n_frames=2, H=48,
+                                   W=48)
+    toy = toy_smpl_model()
+    ds = AvatarDataset(root, "train", start=0, end=1,
+                       sampler=PatchSampler(num_patch=2, patch_size=16,
+                                            ratio_mask=1.0,
+                                            rng=np.random.default_rng(3)))
+    gt = ds.get_smpl_params()
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=10,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy, field, SMPLDeformer(toy, threshold=0.12, knn_chunk=1024),
+        n_steps=32, k_cap=None, noise_steps=0,
+        optimize_smpl=True,
+        loss_weights={"w_rgb": 1.0, "w_alpha": 0.1, "w_reg": 0.1,
+                      "w_lpips": 0.01, "w_depth_reg": 0.01},
+        lpips_fn=load_lpips("vgg", allow_random=True),
+        optimizer=make_optimizer(lr=5e-3, smpl_lr=1e-4))
+    state = avatar.init(jax.random.PRNGKey(0), gt["betas"],
+                        SMPLParams.from_arrays(gt))
+
+    key = jax.random.PRNGKey(7)
+    hist = []
+    for i in range(30):
+        batch = {k: jnp.asarray(v) for k, v in ds[i % len(ds)].items()}
+        key, sub = jax.random.split(key)
+        state, losses = avatar.train_step(state, batch, sub)
+        hist.append(float(losses["loss"]))
+    assert "loss_lpips" in losses and "loss_depth_reg" in losses
+    assert np.isfinite(float(losses["loss_lpips"]))
+    assert np.isfinite(float(losses["loss_depth_reg"]))
+    assert np.mean(hist[-5:]) < np.mean(hist[:5]), hist
