@@ -91,14 +91,16 @@ def main() -> None:
     np.asarray(grid.occupancy)  # force
 
     # warm/compile a single frame first
-    avatar.render_frame(state, batch, chunk=CHUNK, grid=grid)
+    avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
+                        image_shape=(H, W))
 
     # steady-state animation throughput: pipelined frames (readback of
     # frame i overlaps frame i+1's compute)
     n_frames = 8
     t0 = time.perf_counter()
     for out in avatar.render_frames(state, [batch] * n_frames,
-                                    chunk=CHUNK, grid=grid, depth=2):
+                                    chunk=CHUNK, grid=grid, depth=2,
+                                    image_shape=(H, W)):
         assert out["rgb"].shape == (H * W, 3)
     dt = (time.perf_counter() - t0) / n_frames
 

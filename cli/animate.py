@@ -65,7 +65,8 @@ def render_sequence(trainer, state, batches, out_dir: Path,
     # pipelined renderer: frame i's host fetch overlaps frame i+1's
     # on-device compute (render_frames keeps 2 frames in flight)
     outs = trainer.avatar.render_frames(
-        state, [b for _, _, b in batches], chunk=trainer.eval_chunk)
+        state, [b for _, _, b in batches], chunk=trainer.eval_chunk,
+        image_shape=shapes[0] if shapes else None)
     for i, ((H, W), out) in enumerate(zip(shapes, outs)):
         rgb = np.clip(out["rgb"].reshape(H, W, 3), 0, 1)
         alpha = np.clip(out["alpha"].reshape(H, W, 1), 0, 1)

@@ -70,6 +70,11 @@ class SnarfCanonical(NamedTuple):
     """Once-per-subject baked state (switch_to_explicit analog)."""
     lbs_voxel: jax.Array    # (24, D, H, W) smoothed skinning weights
     lbs_packed: jax.Array   # (D*H*W, 192) corner-packed bf16 weights
+    lbs_packed32: jax.Array  # (D*H*W, 192) corner-packed f32 weights
+    # (feeds the per-frame voxel_J bake: packing is linear, so
+    # pack(einsum(lbs, tfs)) == einsum(pack(lbs), tfs) — one MXU matmul
+    # per frame instead of an einsum over the raw voxel + a re-pack,
+    # which cost a ~40 ms layout copy in the fused frame jit)
     offset: jax.Array       # (3,) voxel-normalization offset
     inv_scale: jax.Array    # (3,) 1/scale with z-ratio folded in
     tfs_inv_t: jax.Array    # (24, 4, 4) inverse canonical bone transforms
@@ -199,12 +204,14 @@ class SNARFDeformer:
 
         vox = jax.lax.fori_loop(0, 30, smooth, vox)
 
+        packed32 = pack_corners_3d(vox)
         return SnarfCanonical(
             lbs_voxel=vox,
             # corner-packed bf16 copy: 1 gather row per weight query on
             # the hot gradient path (weights are smooth in [0,1]; bf16's
             # ~1e-3 error is far below the voxelization error)
-            lbs_packed=pack_corners_3d(vox).astype(jnp.bfloat16),
+            lbs_packed=packed32.astype(jnp.bfloat16),
+            lbs_packed32=packed32,
             offset=offset,
             inv_scale=inv_scale,
             tfs_inv_t=jnp.linalg.inv(rest.A[0]),
@@ -226,18 +233,24 @@ class SNARFDeformer:
                          canonical.tfs_inv_t)          # (24, 4, 4)
 
         d, h, w = self.vox_shape
+        M = d * h * w
         # voxel_J[c] = sum_j lbs[j] * tfs[j, :3, :4]  (precompute.cu:51-58)
-        voxel_J = jnp.einsum("jdhw,jc->cdhw",
-                             canonical.lbs_voxel,
-                             tfs[:, :3, :4].reshape(24, 12))
+        # — done directly on the corner-packed f32 LBS table (packing is
+        # linear), so the per-frame bake is ONE (M*8, 24) @ (24, 12) MXU
+        # matmul with no transposes/re-pack (PERF.md)
+        tfs12 = tfs[:, :3, :4].reshape(24, 12)
+        voxel_J_packed = (canonical.lbs_packed32.reshape(M * 8, 24)
+                          @ tfs12).reshape(M, 96)
         coords = self.denormalize(canonical,
                                   _voxel_grid_coords(self.resolution))
-        J = voxel_J.reshape(3, 4, d * h * w)
-        warped = (jnp.einsum("rcm,mc->mr", J[:, :3], coords) + J[:, 3].T)
+        # corner 0 of cell m is the lattice value at m itself
+        J0 = voxel_J_packed[:, :12].reshape(M, 3, 4)
+        warped = jnp.einsum("mrc,mc->mr", J0[:, :, :3], coords) \
+            + J0[:, :, 3]
         voxel_d = warped.T.reshape(3, d, h, w)
 
         verts_s = (posed.vertices[0] @ w2s[:3, :3].T) + w2s[:3, 3]
-        return SnarfFrame(voxel_J_packed=pack_corners_3d(voxel_J),
+        return SnarfFrame(voxel_J_packed=voxel_J_packed,
                           voxel_d=voxel_d, tfs=tfs,
                           w2s=w2s, verts_smpl=verts_s)
 
@@ -519,9 +532,11 @@ class SNARFDeformer:
         C = min(n_cand, K)
         aabb0 = grid_aabb[0]
         span = grid_aabb[1] - grid_aabb[0]
-        # 1-byte per-cell "has any valid candidate" table (derived once)
+        # per-cell "has any valid candidate" table (derived once); int32
+        # elements — u8/bool gathers hit XLA's bit-packed pred tiling
+        # (~3x slower, PERF.md)
         occ_bytes = (cache_rows.reshape(-1, K, R)[..., 12] > 0.5) \
-            .any(-1).astype(jnp.uint8)
+            .any(-1).astype(jnp.int32)
 
         def cell_of(pts):
             rel = (pts - aabb0) / span

@@ -85,22 +85,32 @@ class VoxelTriplaneField:
     # -- encoding ----------------------------------------------------------
 
     def encode(self, params: VoxelTriplaneParams, xn: jax.Array) -> jax.Array:
-        """xn (..., 3) in [0, 1] -> (..., Cv + 3*Cp) features."""
+        """xn (..., 3) in [0, 1] -> (..., Cv + 3*Cp) features.
+
+        Packed corner rows are cast to bf16: the voxel row is 8 corners x
+        8ch and each plane row 4 corners x 16ch — 256 B at fp32, 128 B at
+        bf16. TPU gathers are free up to 128-byte rows and pay ~2x beyond
+        (measured 42 ns/row at 256 B vs ~7 ns at <=128 B, PERF.md);
+        features are smooth learned values, far above bf16's ~3-digit
+        precision floor. Params stay fp32 (grads flow through the cast)."""
         Gv1 = self.voxel_res + 1
         Gp1 = self.plane_res + 1
+        row_dtype = self.compute_dtype
         vox_packed = pack_corners_3d(
-            params.voxel.transpose(3, 0, 1, 2))        # ((Gv+1)^3, 8Cv)
+            params.voxel.transpose(3, 0, 1, 2)).astype(row_dtype)
         coords = 2.0 * jnp.clip(xn, 0.0, 1.0) - 1.0
         f_vox = grid_sample_3d_packed(vox_packed, (Gv1, Gv1, Gv1), coords)
 
         def plane(p, uv):
             return grid_sample_2d_packed(
-                pack_corners_2d(p.transpose(2, 0, 1)), (Gp1, Gp1), uv)
+                pack_corners_2d(p.transpose(2, 0, 1)).astype(row_dtype),
+                (Gp1, Gp1), uv)
 
         f_xy = plane(params.plane_xy, xn[..., (0, 1)])
         f_xz = plane(params.plane_xz, xn[..., (0, 2)])
         f_yz = plane(params.plane_yz, xn[..., (1, 2)])
-        return jnp.concatenate([f_vox, f_xy, f_xz, f_yz], axis=-1)
+        return jnp.concatenate([f_vox, f_xy, f_xz, f_yz],
+                               axis=-1).astype(jnp.float32)
 
     # -- field -------------------------------------------------------------
 

@@ -250,7 +250,8 @@ class Trainer:
 
         first = None
         for i, out in enumerate(self.avatar.render_frames(
-                state, batch_gen(), chunk=self.eval_chunk)):
+                state, batch_gen(), chunk=self.eval_chunk,
+                image_shape=(H, W))):
             pred = out["rgb"].reshape(H, W, 3)
             ref = stash.pop(i)
             gt = ref["rgb"].reshape(H, W, 3)
@@ -338,7 +339,8 @@ class Trainer:
                 yield b
 
         for i, out in enumerate(self.avatar.render_frames(
-                state, batch_gen(), chunk=self.eval_chunk)):
+                state, batch_gen(), chunk=self.eval_chunk,
+                image_shape=(H, W))):
             pred = out["rgb"].reshape(H, W, 3)
             gt = gts.pop(i).reshape(H, W, 3)
             err = np.abs(pred - gt).mean(-1, keepdims=True)

@@ -71,8 +71,8 @@ class AvatarModel:
                  cache_fused_probe: bool = False,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
-                 prepass_steps: int = 32,
-                 prepass_dilate: int = 3,
+                 prepass_steps: int = 96,
+                 prepass_dilate: int = 1,
                  prepass_margin_steps: float = 1.5,
                  loss_weights: dict[str, float] | None = None,
                  lpips_fn=None,
@@ -464,10 +464,12 @@ class AvatarModel:
             occ = max_pool3d(occ.astype(jnp.uint8)) > 0
         return occ
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
     def _render_frame_fused(self, state: TrainState, batch, grid,
                             ray_budget: int, chunk: int,
-                            cell_budget: int | None = None):
+                            cell_budget: int | None = None,
+                            prepass_shape: tuple[int, int, int]
+                            | None = None):
         """ONE-dispatch full-frame render. Per-host-readback latency
         through the remote-TPU tunnel is ~33 ms while chained async
         dispatches cost ~2 ms (PERF.md), so the whole frame — deformer
@@ -493,8 +495,10 @@ class AvatarModel:
           6. scatter results into full-frame buffers (background fill
              elsewhere).
 
-        Returns (outputs dict over all n rays, n_hit, n_occ) — n_hit/n_occ
-        let the caller detect ray/cell budget overflows and re-render.
+        Returns one packed (n+1, 6) float16 buffer (see _unpack_frame):
+        rgb/depth/alpha/counter rows plus digit-encoded n_hit/n_occ, so
+        the host retrieves the whole frame — including the overflow
+        counters — in a single tunnel transfer.
         """
         cell_budget = cell_budget or self.cell_budget
         rbatch = self._resolve_batch(state.params, batch)
@@ -508,21 +512,42 @@ class AvatarModel:
                                          render_rays_probed, sample_z)
 
         # -- 2. coarse prepass --------------------------------------------
-        near, far = ray_aabb(rays_s.o, rays_s.d, aabb[0], aabb[1])
-        near = jnp.clip(near, rays_s.near, rays_s.far)
-        far = jnp.clip(far, near, rays_s.far)
-        z, step = sample_z(near, far, self.prepass_steps, None)
-        pts = rays_s.o[:, None] + z[..., None] * rays_s.d[:, None]
+        # Optionally run on a p x p-subsampled ray lattice (image-space
+        # blocks share the verdict: neighbouring 540px rays diverge by
+        # ~p px * z / f ~ millimetres at body distance, far below the
+        # occupancy dilation margin) — a p=3 subsample cuts the dominant
+        # prepass gather volume 9x (xplane: 143 ms -> ~16 ms at 540px).
+        if prepass_shape is not None:
+            Hs, Ws, p = prepass_shape
+            o_sub = rays_s.o.reshape(Hs, Ws, 3)[::p, ::p].reshape(-1, 3)
+            d_sub = rays_s.d.reshape(Hs, Ws, 3)[::p, ::p].reshape(-1, 3)
+            nr_sub = rays_s.near.reshape(Hs, Ws)[::p, ::p].reshape(-1)
+            fr_sub = rays_s.far.reshape(Hs, Ws)[::p, ::p].reshape(-1)
+        else:
+            p = 1
+            o_sub, d_sub = rays_s.o, rays_s.d
+            nr_sub, fr_sub = rays_s.near, rays_s.far
+        near_s, far_s = ray_aabb(o_sub, d_sub, aabb[0], aabb[1])
+        near_s = jnp.clip(near_s, nr_sub, fr_sub)
+        far_s = jnp.clip(far_s, near_s, fr_sub)
+        z, step = sample_z(near_s, far_s, self.prepass_steps, None)
+        pts = o_sub[:, None] + z[..., None] * d_sub[:, None]
         coarse = grid._replace(occupancy=self._coarse_occupancy(grid))
         occ = occupancy_lookup(coarse, pts.reshape(-1, 3)).reshape(z.shape)
-        occ = occ & (z < far[..., None])
+        occ = occ & (z < far_s[..., None])
         hit = occ.any(axis=-1)
         margin = self.prepass_margin_steps * step[:, 0]
         z_lo = jnp.maximum(jnp.where(occ, z, jnp.inf).min(axis=-1) - margin,
-                           near)
-        z_hi = jnp.minimum(jnp.where(occ, z, -jnp.inf).max(axis=-1) + margin,
-                           far)
+                           near_s)
+        z_hi = jnp.minimum(jnp.where(occ, z, -jnp.inf).max(axis=-1)
+                           + margin, far_s)
         z_lo = jnp.minimum(z_lo, z_hi)
+        if prepass_shape is not None and p > 1:
+            def up(x):
+                x = x.reshape(Hs // p, Ws // p)
+                return jnp.repeat(jnp.repeat(x, p, axis=0), p,
+                                  axis=1).reshape(-1)
+            hit, z_lo, z_hi = up(hit), up(z_lo), up(z_hi)
         n_hit = hit.sum()
 
         # -- 3. on-device hit-ray compaction --------------------------------
@@ -606,19 +631,52 @@ class AvatarModel:
                 return {"rgb": out.rgb, "depth": out.depth,
                         "alpha": out.alpha, "counter": out.counter}
 
-        chunk_out = jax.lax.map(one, sel)
-        flat = jax.tree.map(
-            lambda x: x.reshape(ray_budget, *x.shape[2:]), chunk_out)
+        # statically unrolled chunk loop: gathers inside a lax.map while
+        # body run ~3-5x slower (xplane: S(1)-staged carries, no cross-
+        # iteration pipelining); n_chunks is small and static
+        n_chunks_static = ray_budget // chunk
+        outs = [one({k: v[i] for k, v in sel.items()})
+                for i in range(n_chunks_static)]
+        flat = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
-        # -- 6. full-frame scatter ------------------------------------------
+        # -- 6. full-frame scatter + single-fetch packing -------------------
         full = {
             "rgb": (bg if bg is not None else jnp.ones((n, 3))),
             "depth": jnp.zeros((n,)),
             "alpha": jnp.zeros((n,)),
-            "counter": jnp.zeros((n,), jnp.int32),
+            "counter": jnp.zeros((n,)),
         }
+        flat["counter"] = flat["counter"].astype(jnp.float32)
         out = {k: full[k].at[ray_idx].set(flat[k], mode="drop")
                for k in full}
+        # ONE (n+1, 6) float16 buffer: host fetches through the remote-TPU
+        # tunnel run at ~110 MB/s with a ~33 ms round trip EACH (PERF.md),
+        # so rgb/depth/alpha/counter ship together at half width, with
+        # n_hit/n_occ base-1024-digit-encoded in the extra row (f16 holds
+        # integers <= 2048 exactly) — 1 fetch/frame instead of 6.
+        img = jnp.concatenate(
+            [out["rgb"], out["depth"][:, None], out["alpha"][:, None],
+             out["counter"][:, None]], axis=-1)
+
+        def digits(v):
+            v = v.astype(jnp.int32)
+            return jnp.stack([v // 1024 ** 2 % 1024, v // 1024 % 1024,
+                              v % 1024]).astype(jnp.float32)
+
+        extra = jnp.concatenate([digits(n_hit), digits(n_occ)])[None]
+        return jnp.concatenate([img, extra]).astype(jnp.float16)
+
+    @staticmethod
+    def _unpack_frame(buf) -> tuple[dict, int, int]:
+        """Host-side unpack of the fused render's (n+1, 6) f16 buffer."""
+        import numpy as np
+        buf = np.asarray(buf, np.float32)
+        extra = buf[-1].astype(np.int64)
+        n_hit = int(extra[0] * 1024 ** 2 + extra[1] * 1024 + extra[2])
+        n_occ = int(extra[3] * 1024 ** 2 + extra[4] * 1024 + extra[5])
+        out = {"rgb": buf[:-1, :3], "depth": buf[:-1, 3],
+               "alpha": buf[:-1, 4],
+               "counter": buf[:-1, 5].astype(np.int32)}
         return out, n_hit, n_occ
 
     @staticmethod
@@ -646,13 +704,15 @@ class AvatarModel:
         compile the first time it happens).
         """
         return self._finish_frame(self._render_frame_async(
-            state, batch, chunk, prune_rays, grid, ray_budget_frac))
+            state, batch, chunk, prune_rays, grid, ray_budget_frac,
+            image_shape))
 
     def _render_frame_async(self, state: TrainState, batch,
                             chunk: int = 32768,
                             prune_rays: bool = True,
                             grid: DensityGridState | None = None,
-                            ray_budget_frac: float = 0.5):
+                            ray_budget_frac: float = 0.5,
+                            image_shape: tuple[int, int] | None = None):
         """Enqueue a full frame WITHOUT forcing a host sync; returns an
         in-flight record for ``_finish_frame`` — callers that render frame
         sequences overlap the fetch of frame i with the compute of frame
@@ -662,6 +722,14 @@ class AvatarModel:
         n = batch["rays_o"].shape[0]
         fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
                   for k, v in batch.items() if k not in ("rgb", "alpha")}
+        prepass_shape = None
+        if image_shape is not None:
+            H, W = image_shape
+            if H * W == n:
+                for p in (3, 2):
+                    if H % p == 0 and W % p == 0:
+                        prepass_shape = (H, W, p)
+                        break
         if prune_rays:
             budget, chunk_eff = self._round_budget(
                 max(int(n * ray_budget_frac), 1), chunk)
@@ -669,22 +737,23 @@ class AvatarModel:
             budget = min(budget, full_budget)
         else:
             budget, chunk_eff = self._round_budget(n, chunk)
-        out, n_hit, n_occ = self._render_frame_fused(state, fbatch, grid,
-                                                     budget, chunk_eff)
-        return dict(out=out, n_hit=n_hit, n_occ=n_occ, state=state,
-                    fbatch=fbatch, grid=grid, chunk=chunk, budget=budget,
-                    cell_budget=self.cell_budget)
+        buf = self._render_frame_fused(
+            state, fbatch, grid, budget, chunk_eff, None, prepass_shape)
+        return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
+                    chunk=chunk, budget=budget,
+                    cell_budget=self.cell_budget,
+                    prepass_shape=prepass_shape)
 
     def _finish_frame(self, rec) -> dict:
-        """Fetch an in-flight frame; transparently re-renders when the hit
-        count overflowed the static ray budget (body covering more pixels
-        than budgeted) or the occupied-cell count overflowed the bake's
-        cell budget — rare, one extra compile the first time each
-        overflow size appears."""
-        import numpy as np
+        """Fetch an in-flight frame (ONE host transfer); transparently
+        re-renders when the hit count overflowed the static ray budget
+        (body covering more pixels than budgeted) or the occupied-cell
+        count overflowed the bake's cell budget — rare, one extra compile
+        the first time each overflow size appears."""
+        out, n_hit, n_occ = self._unpack_frame(rec["buf"])
         n = rec["fbatch"]["rays_o"].shape[0]
-        ray_over = rec["budget"] < n and int(rec["n_hit"]) > rec["budget"]
-        cell_over = int(rec["n_occ"]) > rec["cell_budget"]
+        ray_over = rec["budget"] < n and n_hit > rec["budget"]
+        cell_over = n_occ > rec["cell_budget"]
         if ray_over or cell_over:
             budget, chunk_eff = ((self._round_budget(n, rec["chunk"]))
                                  if ray_over
@@ -692,18 +761,19 @@ class AvatarModel:
                                        min(rec["chunk"], rec["budget"])))
             cell_budget = rec["cell_budget"]
             if cell_over:
-                cell_budget = 1 << (int(rec["n_occ"]) - 1).bit_length()
-            out, _, _ = self._render_frame_fused(
+                cell_budget = 1 << (n_occ - 1).bit_length()
+            buf = self._render_frame_fused(
                 rec["state"], rec["fbatch"], rec["grid"], budget,
-                chunk_eff, cell_budget)
-            rec["out"] = out
-        return {k: np.asarray(v) for k, v in rec["out"].items()}
+                chunk_eff, cell_budget, rec["prepass_shape"])
+            out, _, _ = self._unpack_frame(buf)
+        return out
 
     def render_frames(self, state: TrainState, batches,
                       chunk: int = 32768,
                       grid: DensityGridState | None = None,
                       depth: int = 2,
-                      ray_budget_frac: float = 0.5):
+                      ray_budget_frac: float = 0.5,
+                      image_shape: tuple[int, int] | None = None):
         """Pipelined frame-sequence renderer (animate/novel_view/bench):
         keeps ``depth`` frames in flight so the ~33 ms host-fetch latency
         of frame i overlaps frame i+1's on-device compute (the TPU analog
@@ -712,7 +782,7 @@ class AvatarModel:
         for batch in batches:
             inflight.append(self._render_frame_async(
                 state, batch, chunk=chunk, grid=grid,
-                ray_budget_frac=ray_budget_frac))
+                ray_budget_frac=ray_budget_frac, image_shape=image_shape))
             if len(inflight) >= depth:
                 yield self._finish_frame(inflight.pop(0))
         for rec in inflight:
