@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .compositing import composite
 
 __all__ = ["Rays", "RenderOutput", "ray_aabb", "sample_z", "compact_samples",
-           "render_rays", "render_rays_probed"]
+           "render_rays", "render_rays_probed", "render_rays_windows"]
 
 
 class Rays(NamedTuple):
@@ -169,6 +169,39 @@ def render_rays(field_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array,
         sigma = sigma + noise_std * jax.random.normal(k_noise, sigma.shape)
 
     out = composite(sigma, rgb, z_k, step, keep, bg_color)
+    return RenderOutput(out.rgb, out.depth, out.alpha,
+                        counter.astype(jnp.int32), out.weights)
+
+
+def render_rays_windows(field_fn_pts: Callable[[jax.Array],
+                                               tuple[jax.Array, jax.Array,
+                                                     jax.Array]],
+                        o: jax.Array, d: jax.Array,
+                        z_w: jax.Array, keep: jax.Array, step: jax.Array,
+                        bg_color: jax.Array | None = None) -> RenderOutput:
+    """Composite pre-selected sample windows — the zero-mask chunk phase.
+
+    The coarse prepass already walked the occupancy grid and compacted
+    each ray's occupied coarse samples into ``z_w`` (N, K) ascending
+    window centers (+ ``keep``), so this phase does NO occupancy gathers,
+    NO (N, S) masks and NO cumsum compaction (which cost ~110 ms/frame in
+    pred-tiling copies and gather fusions, PERF.md xplane): per sample
+    it is one warp-cache row fetch + one field eval + masked composite.
+
+    Args:
+      field_fn_pts: (M, 3) pts -> (rgb, sigma, valid) — validity comes
+        from the packed cache row, subsuming the occupancy test.
+      z_w/keep: (N, K); step: (N, 1) the coarse stride (compositing delta).
+    """
+    pts = o[:, None] + z_w[..., None] * d[:, None]
+    rgb, sigma, f_valid = field_fn_pts(pts.reshape(-1, 3))
+    K = z_w.shape[-1]
+    rgb = rgb.reshape(-1, K, 3)
+    sigma = sigma.reshape(-1, K)
+    keep = keep & f_valid.reshape(-1, K)
+    sigma = jnp.where(keep, sigma, -1e3)
+    counter = keep.sum(axis=-1)
+    out = composite(sigma, rgb, z_w, step, keep, bg_color)
     return RenderOutput(out.rgb, out.depth, out.alpha,
                         counter.astype(jnp.int32), out.weights)
 

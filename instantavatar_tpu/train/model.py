@@ -69,6 +69,8 @@ class AvatarModel:
                  use_warp_cache: bool = True,
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
+                 eval_sampling: str = "windows",
+                 n_windows: int = 12,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
                  prepass_steps: int = 96,
@@ -97,6 +99,11 @@ class AvatarModel:
         # fused single-gather probe vs split byte-occupancy + row gather at
         # compacted samples (same semantics; measured choice)
         self.cache_fused_probe = cache_fused_probe
+        # eval sample selection: "windows" moves it entirely into the
+        # coarse prepass (zero occupancy gathers/masks in the chunk
+        # phase); "dense" keeps the per-chunk dense march + compaction
+        self.eval_sampling = eval_sampling
+        self.n_windows = n_windows
         # dense eval samples per ray across the TIGHT prepass span (the
         # training path keeps n_steps across the full near/far span)
         self.eval_n_steps = eval_n_steps or min(n_steps, 64)
@@ -542,12 +549,31 @@ class AvatarModel:
         z_hi = jnp.minimum(jnp.where(occ, z, -jnp.inf).max(axis=-1)
                            + margin, far_s)
         z_lo = jnp.minimum(z_lo, z_hi)
+        use_windows = (self.eval_sampling == "windows"
+                       and self.use_warp_cache
+                       and hasattr(self.deformer, "bake_packed_cache"))
+        z_w = keep_w = None
+        if use_windows:
+            # sample selection happens HERE: compact each ray's occupied
+            # coarse samples into n_windows ascending window centers —
+            # the chunk phase then needs no occupancy march at all
+            from ..render.raymarcher import compact_samples
+            idx_w, keep_w = compact_samples(occ, self.n_windows)
+            z_w = jnp.where(keep_w, jnp.take_along_axis(z, idx_w, axis=-1),
+                            1e9)
+            keep_w = keep_w.astype(jnp.float32)
+        step_c = step[:, 0]
         if prepass_shape is not None and p > 1:
             def up(x):
-                x = x.reshape(Hs // p, Ws // p)
+                x = x.reshape(Hs // p, Ws // p, *x.shape[1:])
                 return jnp.repeat(jnp.repeat(x, p, axis=0), p,
-                                  axis=1).reshape(-1)
-            hit, z_lo, z_hi = up(hit), up(z_lo), up(z_hi)
+                                  axis=1).reshape(-1, *x.shape[2:])
+            hit = up(hit[:, None])[:, 0]
+            z_lo = up(z_lo[:, None])[:, 0]
+            z_hi = up(z_hi[:, None])[:, 0]
+            step_c = up(step_c[:, None])[:, 0]
+            if use_windows:
+                z_w, keep_w = up(z_w), up(keep_w)
         n_hit = hit.sum()
 
         # -- 3. on-device hit-ray compaction --------------------------------
@@ -564,6 +590,10 @@ class AvatarModel:
             "bg": (bg[safe] if bg is not None
                    else jnp.ones((ray_budget, 3))),
         }
+        if use_windows:
+            sel["z_w"] = z_w[safe]
+            sel["keep_w"] = keep_w[safe]
+            sel["step_c"] = step_c[safe]
         n_chunks = ray_budget // chunk
         sel = jax.tree.map(
             lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), sel)
@@ -597,6 +627,14 @@ class AvatarModel:
                     cache, aabb, G, net, self.cache_n_cand)
 
             def one(r):
+                if use_windows:
+                    from ..render.raymarcher import render_rays_windows
+                    out = render_rays_windows(
+                        field_pts, r["o"], r["d"], r["z_w"],
+                        r["keep_w"] > 0.5, r["step_c"][:, None],
+                        bg_color=r["bg"])
+                    return {"rgb": out.rgb, "depth": out.depth,
+                            "alpha": out.alpha, "counter": out.counter}
                 rays_t = Rays(o=r["o"], d=r["d"], near=r["z_lo"],
                               far=r["z_hi"])
                 if self.cache_fused_probe:

@@ -231,18 +231,21 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
                                          base_resolution=4,
                                          per_level_scale=1.6))
 
-    def make(use_cache, tight_spans=False):
+    def make(use_cache, production=False):
         return AvatarModel(
             toy_model, field,
             SNARFDeformer(toy_model, resolution=32, cano_pose="da_pose",
                           knn_chunk=4096),
             n_steps=64, k_cap=16, grid_size=32, grid_update_interval=10,
             noise_steps=0, use_warp_cache=use_cache, cache_n_cand=4,
-            eval_n_steps=64,
-            # huge margin degenerates the tight spans to [near, far] so
-            # cached and uncached paths sample identical z grids and the
-            # comparison isolates the warp cache itself
-            prepass_margin_steps=1.5 if tight_spans else 1e6,
+            eval_n_steps=64, n_windows=24,
+            # dense cached sampling + huge margin degenerates the tight
+            # spans to [near, far] so cached and uncached paths sample
+            # identical z grids and the comparison isolates the warp
+            # cache itself; production=True exercises the prepass-window
+            # sampling actually used at speed
+            eval_sampling="windows" if production else "dense",
+            prepass_margin_steps=1.5 if production else 1e6,
             optimizer=optax.adam(5e-3))
 
     avatar = make(True)
@@ -271,11 +274,11 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
     # stand-in for the per-sample Broyden search
     img_cached = avatar.render_frame(state, b, chunk=1024)["rgb"]
     assert match_psnr(img_cached) > 30.0, match_psnr(img_cached)
-    # production config (tight spans): sampling differs, images must
-    # still closely agree
-    img_tight = make(True, tight_spans=True).render_frame(
+    # production config (prepass-window sampling): z grids differ,
+    # images must still closely agree
+    img_prod = make(True, production=True).render_frame(
         state, b, chunk=1024)["rgb"]
-    assert match_psnr(img_tight) > 25.0, match_psnr(img_tight)
+    assert match_psnr(img_prod) > 25.0, match_psnr(img_prod)
 
 
 def test_render_frames_pipelined_matches_single(seq_dir, toy_model):
