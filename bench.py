@@ -46,7 +46,7 @@ def main() -> None:
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
                       n_iters=6, cand_cap=2, n_init_active=4),
         n_steps=128, k_cap=8, grid_size=64,
-        eval_n_steps=48, cache_n_cand=1)
+        eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0)
 
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
 

@@ -69,8 +69,9 @@ class AvatarModel:
                  use_warp_cache: bool = True,
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
-                 eval_sampling: str = "windows",
+                 eval_sampling: str = "flat",
                  n_windows: int = 12,
+                 samples_per_ray: float = 3.0,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
                  prepass_steps: int = 96,
@@ -99,11 +100,16 @@ class AvatarModel:
         # fused single-gather probe vs split byte-occupancy + row gather at
         # compacted samples (same semantics; measured choice)
         self.cache_fused_probe = cache_fused_probe
-        # eval sample selection: "windows" moves it entirely into the
-        # coarse prepass (zero occupancy gathers/masks in the chunk
-        # phase); "dense" keeps the per-chunk dense march + compaction
+        # eval sample selection: "flat" compacts kept (ray, window) pairs
+        # across the WHOLE frame into one padding-free sample stream
+        # (segmented composite, composite_stream); "windows" keeps per-ray
+        # window padding; "dense" keeps the per-chunk dense march +
+        # compaction
         self.eval_sampling = eval_sampling
         self.n_windows = n_windows
+        # "flat" sample budget: average kept samples per ray the static
+        # stream is sized for (overflow transparently re-renders)
+        self.samples_per_ray = samples_per_ray
         # dense eval samples per ray across the TIGHT prepass span (the
         # training path keeps n_steps across the full near/far span)
         self.eval_n_steps = eval_n_steps or min(n_steps, 64)
@@ -471,12 +477,13 @@ class AvatarModel:
             occ = max_pool3d(occ.astype(jnp.uint8)) > 0
         return occ
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
     def _render_frame_fused(self, state: TrainState, batch, grid,
                             ray_budget: int, chunk: int,
                             cell_budget: int | None = None,
                             prepass_shape: tuple[int, int, int]
-                            | None = None):
+                            | None = None,
+                            samp_budget: int | None = None):
         """ONE-dispatch full-frame render. Per-host-readback latency
         through the remote-TPU tunnel is ~33 ms while chained async
         dispatches cost ~2 ms (PERF.md), so the whole frame — deformer
@@ -539,7 +546,20 @@ class AvatarModel:
         far_s = jnp.clip(far_s, near_s, fr_sub)
         z, step = sample_z(near_s, far_s, self.prepass_steps, None)
         pts = o_sub[:, None] + z[..., None] * d_sub[:, None]
-        coarse = grid._replace(occupancy=self._coarse_occupancy(grid))
+        cache_ok = (self.use_warp_cache
+                    and hasattr(self.deformer, "bake_packed_cache"))
+        use_flat = (self.eval_sampling == "flat" and cache_ok
+                    and samp_budget is not None)
+        if use_flat:
+            # flat mode samples against the UNDILATED grid: the prepass
+            # stride (span/prepass_steps) is below the cell size, so
+            # strides cannot step over an occupied cell, and the dilated
+            # shell only admits samples whose cache row is invalid anyway
+            # (xplane r2: dilation tripled the kept-sample count and
+            # forced per-frame budget-overflow re-renders)
+            coarse = grid
+        else:
+            coarse = grid._replace(occupancy=self._coarse_occupancy(grid))
         occ = occupancy_lookup(coarse, pts.reshape(-1, 3)).reshape(z.shape)
         occ = occ & (z < far_s[..., None])
         hit = occ.any(axis=-1)
@@ -549,21 +569,22 @@ class AvatarModel:
         z_hi = jnp.minimum(jnp.where(occ, z, -jnp.inf).max(axis=-1)
                            + margin, far_s)
         z_lo = jnp.minimum(z_lo, z_hi)
-        use_windows = (self.eval_sampling == "windows"
-                       and self.use_warp_cache
-                       and hasattr(self.deformer, "bake_packed_cache"))
+        use_windows = (self.eval_sampling == "windows" and cache_ok)
         z_w = keep_w = None
-        if use_windows:
+        if use_windows or use_flat:
             # sample selection happens HERE: compact each ray's occupied
             # coarse samples into n_windows ascending window centers —
-            # the chunk phase then needs no occupancy march at all
+            # the chunk phase then needs no occupancy march at all. In
+            # flat mode the windows stay on the SUBSAMPLED block lattice
+            # (never upsampled — the 9 block pixels share them).
             from ..render.raymarcher import compact_samples
             idx_w, keep_w = compact_samples(occ, self.n_windows)
             z_w = jnp.where(keep_w, jnp.take_along_axis(z, idx_w, axis=-1),
                             1e9)
             keep_w = keep_w.astype(jnp.float32)
         step_c = step[:, 0]
-        if prepass_shape is not None and p > 1:
+        step_blk = step_c
+        if prepass_shape is not None and p > 1 and not use_flat:
             def up(x):
                 x = x.reshape(Hs // p, Ws // p, *x.shape[1:])
                 return jnp.repeat(jnp.repeat(x, p, axis=0), p,
@@ -574,29 +595,60 @@ class AvatarModel:
             step_c = up(step_c[:, None])[:, 0]
             if use_windows:
                 z_w, keep_w = up(z_w), up(keep_w)
-        n_hit = hit.sum()
-
-        # -- 3. on-device hit-ray compaction --------------------------------
-        (ray_idx,) = jnp.nonzero(hit, size=ray_budget, fill_value=n)
-        rmask = ray_idx < n
-        safe = jnp.where(rmask, ray_idx, 0)
         bg = rbatch.get("bg_color")
         if bg is not None:
             bg = jnp.broadcast_to(bg.reshape(-1, 3), (n, 3))
-        sel = {
-            "o": rays_s.o[safe], "d": rays_s.d[safe],
-            "z_lo": z_lo[safe], "z_hi": z_hi[safe],
-            "near": rays_s.near[safe], "far": rays_s.far[safe],
-            "bg": (bg[safe] if bg is not None
-                   else jnp.ones((ray_budget, 3))),
-        }
-        if use_windows:
-            sel["z_w"] = z_w[safe]
-            sel["keep_w"] = keep_w[safe]
-            sel["step_c"] = step_c[safe]
-        n_chunks = ray_budget // chunk
-        sel = jax.tree.map(
-            lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), sel)
+        if use_flat:
+            # -- 3'. block-level sample compaction --------------------------
+            # No per-ray padding anywhere: every kept (block, window) pair
+            # compacts into ONE static (samp_budget,) stream ordered
+            # (block-major, z-ascending — jnp.nonzero is order-
+            # preserving). Compaction runs on the p x p-SUBSAMPLED block
+            # lattice (the p^2 pixels of a block share their windows), so
+            # the nonzero, the counts and the stream metadata are p^2
+            # smaller than per-pixel selection; per-pixel work appears
+            # only in the field-eval/composite loop over the p^2 pixel
+            # offsets (stage 5'), where each offset reuses the same
+            # stream with its own ray rows. The kept-count rides the
+            # n_hit report slot for transparent re-render on overflow.
+            Kw = self.n_windows
+            keep_b = keep_w > 0.5                      # (nb, Kw)
+            nb = keep_b.shape[0]
+            counts_b = keep_b.sum(-1).astype(jnp.int32)
+            n_hit = counts_b.sum()
+            offsets = jnp.cumsum(counts_b) - counts_b  # (nb,) excl. cumsum
+            (sidx,) = jnp.nonzero(keep_b.reshape(-1), size=samp_budget,
+                                  fill_value=nb * Kw)
+            smask = sidx < nb * Kw
+            ssafe = jnp.where(smask, sidx, 0)
+            blk_id = (ssafe // Kw).astype(jnp.int32)
+            # z + dt packed per window row — ONE gather (row count is
+            # what costs, not width)
+            zdt = jnp.stack(
+                [z_w, jnp.broadcast_to(step_blk[:, None], z_w.shape)],
+                axis=-1).reshape(nb * Kw, 2)
+            zdt_s = zdt[ssafe]
+        else:
+            n_hit = hit.sum()
+
+            # -- 3. on-device hit-ray compaction ----------------------------
+            (ray_idx,) = jnp.nonzero(hit, size=ray_budget, fill_value=n)
+            rmask = ray_idx < n
+            safe = jnp.where(rmask, ray_idx, 0)
+            sel = {
+                "o": rays_s.o[safe], "d": rays_s.d[safe],
+                "z_lo": z_lo[safe], "z_hi": z_hi[safe],
+                "near": rays_s.near[safe], "far": rays_s.far[safe],
+                "bg": (bg[safe] if bg is not None
+                       else jnp.ones((ray_budget, 3))),
+            }
+            if use_windows:
+                sel["z_w"] = z_w[safe]
+                sel["keep_w"] = keep_w[safe]
+                sel["step_c"] = step_c[safe]
+            n_chunks = ray_budget // chunk
+            sel = jax.tree.map(
+                lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), sel)
 
         field_params = state.params["field"] \
             if isinstance(state.params, dict) else state.params
@@ -669,24 +721,76 @@ class AvatarModel:
                 return {"rgb": out.rgb, "depth": out.depth,
                         "alpha": out.alpha, "counter": out.counter}
 
-        # statically unrolled chunk loop: gathers inside a lax.map while
-        # body run ~3-5x slower (xplane: S(1)-staged carries, no cross-
-        # iteration pipelining); n_chunks is small and static
-        n_chunks_static = ray_budget // chunk
-        outs = [one({k: v[i] for k, v in sel.items()})
-                for i in range(n_chunks_static)]
-        flat = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+        if use_flat:
+            # -- 5'. per-pixel-offset field eval + cumsum composite ---------
+            # For each of the p^2 pixel offsets, evaluate the shared
+            # sample stream at that pixel's rays and composite by the
+            # cumsum-DIFFERENCE trick: per-block accumulations are
+            # csum[end] - csum[start] over the packed (S, 5) stream —
+            # two (nb,) gathers instead of a (S, 5) scatter-add (xplane
+            # r2: the scatter-add alone cost ~70 ms/frame; TPU scatters
+            # with duplicate indices serialize). The image assembles by
+            # pure reshape/transpose — the whole flat path has ZERO
+            # scatters.
+            from ..render.compositing import composite_stream
+            od = jnp.concatenate([rays_s.o, rays_s.d], axis=-1)  # (n, 6)
+            S = samp_budget
+            pp = p * p
+            z_s, dt_s = zdt_s[:, 0], zdt_s[:, 1]
+            if p > 1:
+                Hb, Wb = Hs // p, Ws // p
+                by, bx = blk_id // Wb, blk_id % Wb
+                qy = jnp.repeat(jnp.arange(p), p)                # (pp,)
+                qx = jnp.tile(jnp.arange(p), p)
+                rid = ((by[None] * p + qy[:, None]) * Ws
+                       + bx[None] * p + qx[:, None])             # (pp, S)
+            else:
+                rid = blk_id[None]
+            # ONE field eval over all p^2 pixel offsets (9 separate
+            # launches paid ~9x the fixed gather/copy cost, xplane r2)
+            od_q = od[rid.reshape(-1)].reshape(pp, S, 6)
+            pts_q = od_q[..., :3] + z_s[None, :, None] * od_q[..., 3:]
+            rgb_s, sigma_s, ok = field_pts(pts_q.reshape(pp * S, 3))
+            rgb_s = rgb_s.reshape(pp, S, 3)
+            sigma_s = sigma_s.reshape(pp, S)
+            ok = ok.reshape(pp, S) & smask[None]
+            acc = jax.vmap(
+                lambda s, r, o: composite_stream(
+                    s, r, z_s, dt_s, o, blk_id, offsets, counts_b)
+            )(sigma_s, rgb_s, ok)                                # (pp,nb,5)
+            if p > 1:
+                A = (acc.transpose(1, 0, 2).reshape(Hb, Wb, p, p, 5)
+                     .transpose(0, 2, 1, 3, 4).reshape(n, 5))
+                cnt = jnp.broadcast_to(
+                    counts_b.reshape(Hb, 1, Wb, 1).astype(jnp.float32),
+                    (Hb, p, Wb, p)).reshape(n)
+            else:
+                A = acc[0]
+                cnt = counts_b.astype(jnp.float32)
+            t_final = jnp.clip(1.0 - A[:, 4], 0.0, 1.0)
+            bg_i = bg if bg is not None else jnp.ones((n, 3))
+            out = {"rgb": A[:, :3] + t_final[:, None] * bg_i,
+                   "depth": A[:, 3], "alpha": A[:, 4], "counter": cnt}
+        else:
+            # statically unrolled chunk loop: gathers inside a lax.map
+            # while body run ~3-5x slower (xplane: S(1)-staged carries, no
+            # cross-iteration pipelining); n_chunks is small and static
+            n_chunks_static = ray_budget // chunk
+            outs = [one({k: v[i] for k, v in sel.items()})
+                    for i in range(n_chunks_static)]
+            flat = {k: jnp.concatenate([o[k] for o in outs])
+                    for k in outs[0]}
 
-        # -- 6. full-frame scatter + single-fetch packing -------------------
-        full = {
-            "rgb": (bg if bg is not None else jnp.ones((n, 3))),
-            "depth": jnp.zeros((n,)),
-            "alpha": jnp.zeros((n,)),
-            "counter": jnp.zeros((n,)),
-        }
-        flat["counter"] = flat["counter"].astype(jnp.float32)
-        out = {k: full[k].at[ray_idx].set(flat[k], mode="drop")
-               for k in full}
+            # -- 6. full-frame scatter + single-fetch packing ---------------
+            full = {
+                "rgb": (bg if bg is not None else jnp.ones((n, 3))),
+                "depth": jnp.zeros((n,)),
+                "alpha": jnp.zeros((n,)),
+                "counter": jnp.zeros((n,)),
+            }
+            flat["counter"] = flat["counter"].astype(jnp.float32)
+            out = {k: full[k].at[ray_idx].set(flat[k], mode="drop")
+                   for k in full}
         # ONE (n+1, 6) float16 buffer: host fetches through the remote-TPU
         # tunnel run at ~110 MB/s with a ~33 ms round trip EACH (PERF.md),
         # so rgb/depth/alpha/counter ship together at half width, with
@@ -702,13 +806,17 @@ class AvatarModel:
                               v % 1024]).astype(jnp.float32)
 
         extra = jnp.concatenate([digits(n_hit), digits(n_occ)])[None]
-        return jnp.concatenate([img, extra]).astype(jnp.float16)
+        # return a FLAT f16 vector: XLA lays (n, 6) outputs out column-
+        # major here, and the axon client then pays a ~100-180 ms relayout
+        # per fetch (measured r2); a 1-D output is contiguous by
+        # construction and any relayout happens on-device at HBM speed
+        return jnp.concatenate([img, extra]).astype(jnp.float16).reshape(-1)
 
     @staticmethod
     def _unpack_frame(buf) -> tuple[dict, int, int]:
-        """Host-side unpack of the fused render's (n+1, 6) f16 buffer."""
+        """Host-side unpack of the fused render's flat (n+1)*6 f16 buffer."""
         import numpy as np
-        buf = np.asarray(buf, np.float32)
+        buf = np.asarray(buf, np.float32).reshape(-1, 6)
         extra = buf[-1].astype(np.int64)
         n_hit = int(extra[0] * 1024 ** 2 + extra[1] * 1024 + extra[2])
         n_occ = int(extra[3] * 1024 ** 2 + extra[4] * 1024 + extra[5])
@@ -775,12 +883,26 @@ class AvatarModel:
             budget = min(budget, full_budget)
         else:
             budget, chunk_eff = self._round_budget(n, chunk)
+        use_flat = (self.eval_sampling == "flat" and self.use_warp_cache
+                    and hasattr(self.deformer, "bake_packed_cache"))
+        samp_budget = None
+        if use_flat:
+            # BLOCK-level sample budget: the flat stream lives on the
+            # p x p-subsampled prepass lattice (nb = n / p^2 rays), so
+            # budget slots cost p^2 field evals each — sizing at full
+            # res ran 9x the kept work (xplane r2)
+            p = prepass_shape[2] if prepass_shape is not None else 1
+            nb = n // (p * p)
+            m = min(int(nb * self.samples_per_ray), nb * self.n_windows)
+            samp_budget, chunk_eff = self._round_budget(max(m, 1), chunk)
         buf = self._render_frame_fused(
-            state, fbatch, grid, budget, chunk_eff, None, prepass_shape)
+            state, fbatch, grid, budget, chunk_eff, None, prepass_shape,
+            samp_budget)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
                     chunk=chunk, budget=budget,
                     cell_budget=self.cell_budget,
-                    prepass_shape=prepass_shape)
+                    prepass_shape=prepass_shape,
+                    samp_budget=samp_budget, chunk_eff=chunk_eff)
 
     def _finish_frame(self, rec) -> dict:
         """Fetch an in-flight frame (ONE host transfer); transparently
@@ -790,19 +912,28 @@ class AvatarModel:
         the first time each overflow size appears."""
         out, n_hit, n_occ = self._unpack_frame(rec["buf"])
         n = rec["fbatch"]["rays_o"].shape[0]
-        ray_over = rec["budget"] < n and n_hit > rec["budget"]
+        samp_budget = rec.get("samp_budget")
+        if samp_budget is not None:
+            # flat mode: the n_hit slot carries the kept-SAMPLE count
+            ray_over = n_hit > samp_budget
+        else:
+            ray_over = rec["budget"] < n and n_hit > rec["budget"]
         cell_over = n_occ > rec["cell_budget"]
         if ray_over or cell_over:
-            budget, chunk_eff = ((self._round_budget(n, rec["chunk"]))
-                                 if ray_over
-                                 else (rec["budget"],
-                                       min(rec["chunk"], rec["budget"])))
+            budget, chunk_eff = rec["budget"], rec.get(
+                "chunk_eff", min(rec["chunk"], rec["budget"]))
+            if ray_over:
+                if samp_budget is not None:
+                    samp_budget, chunk_eff = self._round_budget(
+                        n_hit, rec["chunk"])
+                else:
+                    budget, chunk_eff = self._round_budget(n, rec["chunk"])
             cell_budget = rec["cell_budget"]
             if cell_over:
                 cell_budget = 1 << (n_occ - 1).bit_length()
             buf = self._render_frame_fused(
                 rec["state"], rec["fbatch"], rec["grid"], budget,
-                chunk_eff, cell_budget, rec["prepass_shape"])
+                chunk_eff, cell_budget, rec["prepass_shape"], samp_budget)
             out, _, _ = self._unpack_frame(buf)
         return out
 

@@ -231,7 +231,7 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
                                          base_resolution=4,
                                          per_level_scale=1.6))
 
-    def make(use_cache, production=False):
+    def make(use_cache, production=False, sampling="windows"):
         return AvatarModel(
             toy_model, field,
             SNARFDeformer(toy_model, resolution=32, cano_pose="da_pose",
@@ -242,9 +242,9 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
             # dense cached sampling + huge margin degenerates the tight
             # spans to [near, far] so cached and uncached paths sample
             # identical z grids and the comparison isolates the warp
-            # cache itself; production=True exercises the prepass-window
-            # sampling actually used at speed
-            eval_sampling="windows" if production else "dense",
+            # cache itself; production=True exercises the prepass
+            # window/flat sampling actually used at speed
+            eval_sampling=sampling if production else "dense",
             prepass_margin_steps=1.5 if production else 1e6,
             optimizer=optax.adam(5e-3))
 
@@ -279,6 +279,13 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
     img_prod = make(True, production=True).render_frame(
         state, b, chunk=1024)["rgb"]
     assert match_psnr(img_prod) > 25.0, match_psnr(img_prod)
+    # flat (frame-global sample compaction) must match the per-ray
+    # windows path near-exactly: same samples, segmented composite
+    img_flat = make(True, production=True, sampling="flat").render_frame(
+        state, b, chunk=1024)["rgb"]
+    mse = float(np.mean((img_flat - img_prod) ** 2))
+    flat_vs_win = -10 * np.log10(max(mse, 1e-12))
+    assert flat_vs_win > 40.0, flat_vs_win
 
 
 def test_render_frames_pipelined_matches_single(seq_dir, toy_model):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import sys
 from collections import defaultdict
 from pathlib import Path
@@ -51,6 +52,14 @@ def trace_and_aggregate(fn, tag: str, top: int = 30):
           f"{len(total_by_op)} distinct ops ==")
     for name, ms in sorted(total_by_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {ms:8.2f} ms  {name[:110]}")
+    # category rollup: opcode = text up to first '.' / '(' in the lhs name
+    cats = defaultdict(float)
+    for name, ms in total_by_op.items():
+        m = re.match(r"%?([a-zA-Z_-]+)", name)
+        cats[m.group(1) if m else name[:20]] += ms
+    print("  -- by category --")
+    for name, ms in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {ms:8.2f} ms  {name}")
 
 
 def main():
@@ -68,7 +77,7 @@ def main():
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
                       n_iters=6, cand_cap=2, n_init_active=4),
         n_steps=128, k_cap=8, grid_size=64,
-        eval_n_steps=48, cache_n_cand=1)
+        eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0)
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
 
     K = np.array([[2000.0, 0, W / 2], [0, 2000.0, H / 2], [0, 0, 1]])

