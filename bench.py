@@ -90,7 +90,10 @@ def main() -> None:
     grid = body_grid(state)
     np.asarray(grid.occupancy)  # force
 
-    # warm/compile a single frame first
+    # warm/compile: first frame learns the bake cell-budget hint, second
+    # compiles the hint-sized program the timing loop will run
+    avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
+                        image_shape=(H, W))
     avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
                         image_shape=(H, W))
 

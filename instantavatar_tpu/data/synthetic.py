@@ -83,10 +83,70 @@ def _ray_capsules(o: np.ndarray, d: np.ndarray, p0: np.ndarray,
     return t.min(axis=1), bone
 
 
+def _capsule_shade_jax(joints, p_idx, c_idx, albedo, light, K,
+                       H: int, W: int, ss: int, radius: float):
+    """jit-compiled analog of the numpy tracer below (same math; used for
+    large frames where the host loop is minutes-per-frame)."""
+    import jax
+    import jax.numpy as jnp
+
+    u = (jnp.arange(W * ss) + 0.5) / ss - 0.5
+    v = (jnp.arange(H * ss) + 0.5) / ss - 0.5
+    uu, vv = jnp.meshgrid(u, v)
+    d = jnp.stack([(uu - K[0, 2] + 0.5) / K[0, 0],
+                   (vv - K[1, 2] + 0.5) / K[1, 1],
+                   jnp.ones_like(uu)], axis=-1).reshape(-1, 3)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    p0, p1 = joints[p_idx], joints[c_idx]                   # (B, 3)
+    r = jnp.full((p0.shape[0],), radius)
+    ba = p1 - p0
+    oa = -p0
+    baba = jnp.einsum("bi,bi->b", ba, ba)
+    baoa = jnp.einsum("bi,bi->b", ba, oa)
+    oaoa = jnp.einsum("bi,bi->b", oa, oa)
+    bard = d @ ba.T
+    rdoa = d @ oa.T
+    a = baba[None] - bard ** 2
+    b = baba[None] * rdoa - baoa[None] * bard
+    c = (baba * oaoa - baoa ** 2 - r ** 2 * baba)[None]
+    h = b * b - a * c
+    a = jnp.maximum(a, 1e-12)
+    t_cyl = (-b - jnp.sqrt(jnp.maximum(h, 0.0))) / a
+    y = baoa[None] + t_cyl * bard
+    cyl_ok = (h > 0) & (y > 0) & (y < baba[None]) & (t_cyl > 0)
+    t = jnp.where(cyl_ok, t_cyl, jnp.inf)
+    for pc in (p0, p1):
+        oc = -pc
+        bq = d @ oc.T
+        cq = jnp.einsum("bi,bi->b", oc, oc)[None] - (r ** 2)[None]
+        hq = bq * bq - cq
+        t_sph = -bq - jnp.sqrt(jnp.maximum(hq, 0.0))
+        t = jnp.where((hq > 0) & (t_sph > 0), jnp.minimum(t, t_sph), t)
+    bone = jnp.argmin(t, axis=1)
+    tmin = t.min(axis=1)
+    hit = jnp.isfinite(tmin)
+    pa = d * jnp.where(hit, tmin, 1.0)[:, None]
+    a0 = p0[bone]
+    ax = p1[bone] - a0
+    yy2 = (jnp.einsum("ri,ri->r", pa - a0, ax)
+           / jnp.maximum(jnp.einsum("ri,ri->r", ax, ax), 1e-12))
+    foot = a0 + jnp.clip(yy2, 0.0, 1.0)[:, None] * ax
+    nrm = pa - foot
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    lam = 0.35 + 0.65 * jnp.maximum(-(nrm @ light), 0.0)
+    img = albedo[c_idx][bone] * lam[:, None] * hit[:, None]
+    img = img.reshape(H, ss, W, ss, 3).mean(axis=(1, 3))
+    msk = hit.astype(jnp.float32).reshape(H, ss, W, ss).mean(axis=(1, 3))
+    img = img / jnp.maximum(msk[..., None], 1e-6)
+    return img * (msk[..., None] > 0), msk
+
+
 def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
                          K: np.ndarray, H: int, W: int,
                          radii: np.ndarray | float = 0.06,
-                         ss: int = 3, seed: int = 0
+                         ss: int = 3, seed: int = 0,
+                         use_jax: bool | None = None
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Ray-trace the posed capsule body: smooth Lambert shading +
     supersampled anti-aliased coverage.
@@ -108,6 +168,26 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
     albedo = rng.rand(len(parents), 3) * 0.6 + 0.35     # per-BONE color
     light = np.array([0.35, -0.5, 0.79])  # traveling +z: front-lit
     light /= np.linalg.norm(light)
+
+    if use_jax is None:
+        use_jax = H * W * ss * ss > 1 << 20  # host loop = minutes @540px
+    if use_jax and np.isscalar(radii):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        key = (H, W, ss, float(radii))
+        cache = globals().setdefault("_capsule_jit_cache", {})
+        if key not in cache:
+            cache[key] = jax.jit(functools.partial(
+                _capsule_shade_jax, H=H, W=W, ss=ss, radius=float(radii)))
+        fn = cache[key]
+        img, msk = fn(jnp.asarray(joints, jnp.float32),
+                      np.asarray(parents[bones]), np.asarray(bones),
+                      jnp.asarray(albedo, jnp.float32),
+                      jnp.asarray(light, jnp.float32),
+                      jnp.asarray(K, jnp.float32))
+        return np.asarray(img, np.float32), np.asarray(msk, np.float32)
 
     u = (np.arange(W * ss) + 0.5) / ss - 0.5
     v = (np.arange(H * ss) + 0.5) / ss - 0.5

@@ -288,7 +288,7 @@ class Trainer:
 
             # canonical-pose sanity render (DNeRF.py:208-222): zeroed body
             # pose with legs slightly apart, same camera/translation
-            cano = dict(batches[0])
+            cano = dict(stash["b0"])
             bp = np.zeros_like(np.asarray(cano["body_pose"]))
             bp[..., 2], bp[..., 5] = 0.5, -0.5
             cano["body_pose"] = bp

@@ -895,12 +895,19 @@ class AvatarModel:
             nb = n // (p * p)
             m = min(int(nb * self.samples_per_ray), nb * self.n_windows)
             samp_budget, chunk_eff = self._round_budget(max(m, 1), chunk)
+        # adaptive bake capacity: the previous frame's occupied-cell count
+        # (+15%, 4096-granular) sizes this frame's bake — the default
+        # G^3/8 budget padded the bake's Broyden/voxel_J work ~40%
+        # (xplane r2); animation poses change n_occ slowly and overflow
+        # transparently re-renders
+        cell_budget = min(getattr(self, "_cell_budget_hint", None)
+                          or self.cell_budget, self.cell_budget)
         buf = self._render_frame_fused(
-            state, fbatch, grid, budget, chunk_eff, None, prepass_shape,
-            samp_budget)
+            state, fbatch, grid, budget, chunk_eff, cell_budget,
+            prepass_shape, samp_budget)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
                     chunk=chunk, budget=budget,
-                    cell_budget=self.cell_budget,
+                    cell_budget=cell_budget,
                     prepass_shape=prepass_shape,
                     samp_budget=samp_budget, chunk_eff=chunk_eff)
 
@@ -912,6 +919,11 @@ class AvatarModel:
         the first time each overflow size appears."""
         out, n_hit, n_occ = self._unpack_frame(rec["buf"])
         n = rec["fbatch"]["rays_o"].shape[0]
+        # learn the bake capacity for the NEXT frame (see
+        # _render_frame_async); only shrinks below the configured maximum
+        self._cell_budget_hint = min(
+            self.cell_budget,
+            max(4096, -(-int(n_occ * 1.15) // 4096) * 4096))
         samp_budget = rec.get("samp_budget")
         if samp_budget is not None:
             # flat mode: the n_hit slot carries the kept-SAMPLE count
@@ -930,7 +942,7 @@ class AvatarModel:
                     budget, chunk_eff = self._round_budget(n, rec["chunk"])
             cell_budget = rec["cell_budget"]
             if cell_over:
-                cell_budget = 1 << (n_occ - 1).bit_length()
+                cell_budget = -(-n_occ // 4096) * 4096
             buf = self._render_frame_fused(
                 rec["state"], rec["fbatch"], rec["grid"], budget,
                 chunk_eff, cell_budget, rec["prepass_shape"], samp_budget)

@@ -245,13 +245,20 @@ def test_packed_cache_field_fns(snarf, canonical):
     def net(x):
         return jnp.ones((x.shape[0], 3)) * 0.5, jnp.linalg.norm(x, axis=-1)
 
-    probe_fn, field_fn = snarf.make_packed_cache_fns(cache, aabb, G, net,
-                                                     n_cand=1)
+    probe_fn, field_fn, occupancy_fn, field_fn_pts = \
+        snarf.make_packed_cache_fns(cache, aabb, G, net, n_cand=1)
     occ, payload = probe_fn(verts)
     assert float(occ.mean()) > 0.8  # most vert cells baked valid
     rgb, sigma, ok = field_fn(verts, payload)
     assert rgb.shape == (verts.shape[0], 3)
     assert np.isfinite(np.asarray(sigma)[np.asarray(ok)]).all()
+    # the split pair must agree with the fused probe pair
+    occ2 = occupancy_fn(verts)
+    np.testing.assert_array_equal(np.asarray(occ2), np.asarray(occ))
+    rgb2, sigma2, ok2 = field_fn_pts(verts)
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ok2), np.asarray(ok))
     # far-away points: unoccupied
     far_pts = verts + 10.0
     occ_far, _ = probe_fn(far_pts)
