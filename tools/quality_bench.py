@@ -45,12 +45,17 @@ def build_scene(size: int, n_train: int, n_val: int, root: Path) -> Path:
 
 
 def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
-                  lr: float = 5e-3, tiny: bool = False):
+                  lr: float = 1e-2, tiny: bool = False,
+                  max_epochs: int | None = None,
+                  steps_per_epoch: int = 100):
     """The production configuration (bench.py mirrors `reduced=True`);
-    ``tiny`` shrinks the deformer/march for CPU smoke runs only."""
+    ``tiny`` shrinks the deformer/march for CPU smoke runs only. The
+    optimizer is the reference-parity grouped Adam with the
+    (1 - epoch/max)^1.5 decay (optim.py / DNeRF.py:46-58)."""
     from instantavatar_tpu.deformers import SNARFDeformer
     from instantavatar_tpu.models import VoxelTriplaneField
     from instantavatar_tpu.train import AvatarModel
+    from instantavatar_tpu.train.optim import make_optimizer
     res = 32 if tiny else 128
     if reduced:
         deformer = SNARFDeformer(body, resolution=res, cano_pose="a_pose",
@@ -66,8 +71,9 @@ def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
         body, VoxelTriplaneField(), deformer,
         n_steps=n_steps, k_cap=k_cap, grid_size=32 if tiny else 64,
         eval_n_steps=eval_n, cache_n_cand=1, eval_sampling=eval_sampling,
-        samples_per_ray=5.0,
-        noise_steps=500, optimizer=optax.adam(lr))
+        samples_per_ray=5.0, noise_steps=500,
+        optimizer=make_optimizer(lr, max_epochs=max_epochs,
+                                 steps_per_epoch=steps_per_epoch))
 
 
 def render_val(avatar, state, val_ds, size) -> list[np.ndarray]:
@@ -84,7 +90,7 @@ def render_val(avatar, state, val_ds, size) -> list[np.ndarray]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=540)
-    ap.add_argument("--train-frames", type=int, default=30)
+    ap.add_argument("--train-frames", type=int, default=60)
     ap.add_argument("--val-frames", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--val-every", type=int, default=5)
@@ -117,7 +123,9 @@ def main() -> None:
           for i in range(len(val))]
 
     body = toy_smpl_model()
-    avatar = make_flagship(body, reduced=args.reduced, tiny=args.tiny)
+    avatar = make_flagship(body, reduced=args.reduced, tiny=args.tiny,
+                       max_epochs=args.epochs,
+                       steps_per_epoch=len(train))
     state = avatar.init(jax.random.PRNGKey(0),
                         train.smpl_params["betas"])
 

@@ -1,0 +1,108 @@
+"""Strong-scaling evidence within one chip (VERDICT r1 #8).
+
+Multi-chip hardware is not reachable from this environment, so the 8-way
+ray-DP projection is backed by the two measurable quantities it depends
+on:
+
+  1. measured single-chip train-step time vs per-chip ray count
+     (4096 -> 512 rays) — shows whether the step is compute-bound at
+     1/8-batch (if time shrinks ~linearly, DP splits work; if it
+     plateaus, the fixed overhead bounds the speedup);
+  2. the communication bound: one grad psum of the parameter tree per
+     step over v5e ICI (per-direction ~186 GB/s/link per public v5e
+     specs; an all-reduce moves ~2 x bytes/chip for a ring).
+
+Run on the real TPU: python tools/scaling_bench.py
+Paste the JSON table into PERF.md.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main() -> None:
+    from instantavatar_tpu.body import toy_smpl_model
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.models import VoxelTriplaneField
+    from instantavatar_tpu.train import AvatarModel
+
+    body = toy_smpl_model()
+    avatar = AvatarModel(
+        body, VoxelTriplaneField(),
+        SNARFDeformer(body, resolution=128, cano_pose="a_pose",
+                      n_iters=6, cand_cap=2, n_init_active=4),
+        n_steps=128, k_cap=32, grid_size=64,
+        noise_steps=0, optimizer=optax.adam(5e-3))
+    state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+
+    # parameter-tree bytes (the psum payload)
+    leaves = jax.tree.leaves(state.params)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+    # ring all-reduce moves 2*(n-1)/n * bytes per chip; v5e ICI
+    # per-direction ~186e9 B/s (public spec), 2 links usable per axis
+    ici_bs = 186e9
+    comm_ms = 2 * 7 / 8 * param_bytes / ici_bs * 1e3
+
+    def make_batch(n_rays, key):
+        k1, k2 = jax.random.split(key)
+        o = jnp.zeros((n_rays, 3)) + jnp.array([0.0, 0.15, -5.0])
+        d = jax.random.normal(k1, (n_rays, 3)) * 0.05 \
+            + jnp.array([0.0, 0.0, 1.0])
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return {
+            "rays_o": o, "rays_d": d,
+            "near": jnp.full((n_rays,), 4.0),
+            "far": jnp.full((n_rays,), 6.0),
+            "rgb": jax.random.uniform(k2, (n_rays, 3)),
+            "alpha": jnp.ones((n_rays,)),
+            "bg_color": jnp.ones((n_rays, 3)),
+            "betas": jnp.zeros((10,)),
+            "body_pose": jnp.zeros((69,)),
+            "global_orient": jnp.zeros((3,)),
+            "transl": jnp.asarray(np.array([0.0, 0.15, 5.0], np.float32)),
+            "idx": jnp.int32(0),
+        }
+
+    rows = []
+    key = jax.random.PRNGKey(7)
+    for n_rays in (4096, 2048, 1024, 512):
+        batch = make_batch(n_rays, key)
+        st = state
+        # warm/compile
+        st, _ = avatar.train_step(st, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(st.params)
+        n_it = 10
+        t0 = time.perf_counter()
+        for i in range(n_it):
+            st, losses = avatar.train_step(st, batch,
+                                           jax.random.PRNGKey(i))
+        _ = float(losses["loss"])  # host readback forces completion
+        dt = (time.perf_counter() - t0) / n_it * 1e3
+        rows.append({"rays": n_rays, "step_ms": round(dt, 1)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    full = rows[0]["step_ms"]
+    eighth = rows[-1]["step_ms"]
+    projected = eighth + comm_ms
+    print(json.dumps({
+        "param_mb": round(param_bytes / 1e6, 1),
+        "grad_psum_ms_bound": round(comm_ms, 3),
+        "step_ms_full_batch": full,
+        "step_ms_eighth_batch": eighth,
+        "projected_8chip_dp_step_ms": round(projected, 1),
+        "scaling_efficiency": round(full / (8 * projected), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
