@@ -51,8 +51,18 @@ TOY_JOINTS = np.array([
 
 
 def toy_smpl_model(ring_size: int = 8, num_betas: int = 10,
-                   seed: int = 0) -> SMPLModel:
-    """Build the toy model. V = 24 * ring_size verts."""
+                   seed: int = 0, bone_rings: int = 0) -> SMPLModel:
+    """Build the toy model. V = 24 * ring_size (+ 23 * bone_rings *
+    ring_size) verts.
+
+    ``bone_rings``: extra vertex rings along each bone segment with
+    EXACT one-hot(parent-joint) skinning weights. A point rigidly
+    attached to segment parent->child moves with the parent joint's
+    world transform; with only joint rings, the KNN-baked weight voxel
+    blends both end joints mid-bone, which contradicts any rigidly-
+    deforming GT surface (e.g. the capsule synthetic body) by up to
+    centimetres across poses — an irreducible correspondence blur.
+    Default 0 keeps the original byte-identical model."""
     rng = np.random.RandomState(seed)
     J = 24
     joints = TOY_JOINTS.copy()
@@ -90,9 +100,47 @@ def toy_smpl_model(ring_size: int = 8, num_betas: int = 10,
     w = np.exp(logits)
     weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
 
-    # small smooth blendshapes (deterministic)
+    # small smooth blendshapes (deterministic; drawn at base V so the
+    # bone_rings=0 model stays byte-identical)
     shapedirs = (0.01 * rng.randn(V, 3, num_betas)).astype(np.float32)
     posedirs = (0.001 * rng.randn((J - 1) * 9, V * 3)).astype(np.float32)
+
+    if bone_rings > 0:
+        extra_v, extra_w = [], []
+        for b in range(1, J):
+            p = int(parents[b])
+            axis = joints[b] - joints[p]
+            an = axis / max(np.linalg.norm(axis), 1e-9)
+            w0 = np.array([-an[1], an[0], 0.0])
+            if np.linalg.norm(w0) < 1e-3:
+                w0 = np.array([1.0, 0.0, 0.0])
+            w0 /= np.linalg.norm(w0)
+            v2 = np.cross(an, w0)
+            for k in range(1, bone_rings + 1):
+                f = k / (bone_rings + 1.0)
+                center = joints[p] * (1 - f) + joints[b] * f
+                ring = (center[None]
+                        + 0.05 * np.cos(angles)[:, None] * w0[None]
+                        + 0.05 * np.sin(angles)[:, None] * v2[None])
+                extra_v.append(ring)
+                w_row = np.zeros((ring_size, J), np.float32)
+                w_row[:, p] = 1.0        # rigid with the PARENT transform
+                extra_w.append(w_row)
+        ev = np.concatenate(extra_v, axis=0).astype(np.float32)
+        ew = np.concatenate(extra_w, axis=0)
+        Ve = ev.shape[0]
+        v_template = np.concatenate([v_template, ev], axis=0)
+        weights = np.concatenate([weights, ew], axis=0)
+        J_regressor = np.concatenate(
+            [J_regressor, np.zeros((J, Ve), np.float32)], axis=1)
+        shapedirs = np.concatenate(
+            [shapedirs, (0.01 * rng.randn(Ve, 3, num_betas))
+             .astype(np.float32)], axis=0)
+        pd = posedirs.reshape((J - 1) * 9, V, 3)
+        pd_e = (0.001 * rng.randn((J - 1) * 9, Ve, 3)).astype(np.float32)
+        posedirs = np.concatenate([pd, pd_e], axis=1) \
+            .reshape((J - 1) * 9, (V + Ve) * 3)
+        V = V + Ve
 
     # faces: stitch consecutive ring verts within each joint ring (a valid,
     # closed-ish triangle fan per ring — enough for mesh-distance tests)

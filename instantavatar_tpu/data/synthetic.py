@@ -83,7 +83,36 @@ def _ray_capsules(o: np.ndarray, d: np.ndarray, p0: np.ndarray,
     return t.min(axis=1), bone
 
 
-def _capsule_shade_jax(joints, p_idx, c_idx, albedo, light, K,
+def _bone_lights(joints: np.ndarray, joints_rest: np.ndarray,
+                 parents: np.ndarray, light: np.ndarray) -> np.ndarray:
+    """Rotate the canonical light into each posed bone's frame (minimal
+    rotation rest-axis -> posed-axis), so Lambert shading is rigidly
+    attached to the bone. A canonical color field can represent exactly
+    this (pose-INVARIANT canonical appearance); a fixed world light would
+    make GT colors pose-dependent and unlearnable (measured: PSNR
+    plateaus at background level)."""
+    bones = np.arange(1, len(parents))
+    u0 = joints_rest[bones] - joints_rest[parents[bones]]
+    u1 = joints[bones] - joints[parents[bones]]
+    u0 = u0 / np.maximum(np.linalg.norm(u0, axis=-1, keepdims=True), 1e-9)
+    u1 = u1 / np.maximum(np.linalg.norm(u1, axis=-1, keepdims=True), 1e-9)
+    v = np.cross(u0, u1)
+    c = np.einsum("bi,bi->b", u0, u1)
+    out = np.empty((len(bones), 3))
+    for i in range(len(bones)):
+        s2 = float(v[i] @ v[i])
+        if s2 < 1e-12:
+            R = np.eye(3) if c[i] > 0 else -np.eye(3)
+        else:
+            vx = np.array([[0, -v[i][2], v[i][1]],
+                           [v[i][2], 0, -v[i][0]],
+                           [-v[i][1], v[i][0], 0]])
+            R = np.eye(3) + vx + vx @ vx * ((1 - c[i]) / s2)
+        out[i] = R @ light
+    return out.astype(np.float32)
+
+
+def _capsule_shade_jax(joints, p_idx, c_idx, albedo, lights, K,
                        H: int, W: int, ss: int, radius: float):
     """jit-compiled analog of the numpy tracer below (same math; used for
     large frames where the host loop is minutes-per-frame)."""
@@ -134,7 +163,9 @@ def _capsule_shade_jax(joints, p_idx, c_idx, albedo, light, K,
     nrm = pa - foot
     nrm = nrm / jnp.maximum(
         jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
-    lam = 0.35 + 0.65 * jnp.maximum(-(nrm @ light), 0.0)
+    l_b = lights[bone]                                   # (R, 3) per-bone
+    lam = 0.35 + 0.65 * jnp.maximum(
+        -jnp.einsum("ri,ri->r", nrm, l_b), 0.0)
     img = albedo[c_idx][bone] * lam[:, None] * hit[:, None]
     img = img.reshape(H, ss, W, ss, 3).mean(axis=(1, 3))
     msk = hit.astype(jnp.float32).reshape(H, ss, W, ss).mean(axis=(1, 3))
@@ -146,7 +177,8 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
                          K: np.ndarray, H: int, W: int,
                          radii: np.ndarray | float = 0.06,
                          ss: int = 3, seed: int = 0,
-                         use_jax: bool | None = None
+                         use_jax: bool | None = None,
+                         joints_rest: np.ndarray | None = None
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Ray-trace the posed capsule body: smooth Lambert shading +
     supersampled anti-aliased coverage.
@@ -155,6 +187,9 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
       joints: (J, 3) posed joints in camera coords (+z forward).
       parents: (J,) kinematic parents (bone b = segment parent->joint).
       radii: per-bone radius (B,) or scalar.
+      joints_rest: (J, 3) rest-pose joints; when given, the light rotates
+        with each bone (canonically-attached shading — see _bone_lights)
+        so GT appearance is learnable by a canonical color field.
     Returns:
       (img (H, W, 3) UNpremultiplied body color, msk (H, W) coverage) —
       the dataset's ``img * msk + (1 - msk) * bg`` then blends edges
@@ -168,6 +203,10 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
     albedo = rng.rand(len(parents), 3) * 0.6 + 0.35     # per-BONE color
     light = np.array([0.35, -0.5, 0.79])  # traveling +z: front-lit
     light /= np.linalg.norm(light)
+    if joints_rest is not None:
+        lights = _bone_lights(joints, joints_rest, parents, light)
+    else:
+        lights = np.broadcast_to(light, (len(bones), 3)).astype(np.float32)
 
     if use_jax is None:
         use_jax = H * W * ss * ss > 1 << 20  # host loop = minutes @540px
@@ -185,7 +224,7 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
         img, msk = fn(jnp.asarray(joints, jnp.float32),
                       np.asarray(parents[bones]), np.asarray(bones),
                       jnp.asarray(albedo, jnp.float32),
-                      jnp.asarray(light, jnp.float32),
+                      jnp.asarray(lights, jnp.float32),
                       jnp.asarray(K, jnp.float32))
         return np.asarray(img, np.float32), np.asarray(msk, np.float32)
 
@@ -216,7 +255,8 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
         nrm = pa - foot
         nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
                           1e-12)
-        lam = 0.35 + 0.65 * np.maximum(-(nrm @ light), 0.0)
+        lam = 0.35 + 0.65 * np.maximum(
+            -np.einsum("ri,ri->r", nrm, lights[bone]), 0.0)
         img[s:s + chunk] = albedo[bb] * lam[:, None] * hit[:, None]
         hit_acc[s:s + chunk] = hit
 
@@ -233,7 +273,8 @@ def make_synthetic_sequence(root: str | Path, n_frames: int = 8,
                             H: int = 64, W: int = 64,
                             ring_size: int = 8, seed: int = 0,
                             distance: float = 3.0,
-                            style: str = "splat") -> Path:
+                            style: str = "splat",
+                            bone_rings: int = 0) -> Path:
     """Write a synthetic sequence; returns the sequence dir.
 
     Camera: identity extrinsics (camera at origin, z forward), focal ~ W.
@@ -246,7 +287,8 @@ def make_synthetic_sequence(root: str | Path, n_frames: int = 8,
     (root / "images").mkdir(parents=True, exist_ok=True)
     (root / "masks").mkdir(parents=True, exist_ok=True)
 
-    model = toy_smpl_model(ring_size=ring_size, seed=seed)
+    model = toy_smpl_model(ring_size=ring_size, seed=seed,
+                           bone_rings=bone_rings)
     V = model.num_verts
     rng = np.random.RandomState(seed)
     colors = rng.rand(V, 3).astype(np.float32) * 0.7 + 0.3
@@ -279,7 +321,8 @@ def make_synthetic_sequence(root: str | Path, n_frames: int = 8,
         if style == "capsule":
             img, msk = render_capsule_frame(
                 joints[i], np.asarray(model.parents), K, H, W,
-                radii=0.07, ss=3, seed=seed)
+                radii=0.07, ss=3, seed=seed,
+                joints_rest=np.asarray(out.joints_rest)[i])
         else:
             img, msk = _splat_frame(verts[i], colors, K, H, W, radius)
         # written and later read via cv2 (both BGR) — consistent round-trip

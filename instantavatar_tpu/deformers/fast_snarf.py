@@ -563,12 +563,20 @@ class SNARFDeformer:
             rows = jnp.take(cache_rows, flat, axis=0)
             return field_fn(pts, rows)
 
-        def field_fn(pts, rows):
+        def field_fn(pts, rows, centers=None):
+            """``centers``: optional (M, 3) cell centers the rows were
+            BAKED for — callers that gather one row per block sample and
+            reuse it across nearby pixel rays (flat eval) must pass the
+            row's own center so the cached-Newton delta is taken against
+            the correct expansion point even when a pixel ray crosses a
+            cell boundary."""
             M = pts.shape[0]
             r = rows.reshape(M, K, R)[:, :C]
-            cell, _ = cell_of(pts)
-            center = aabb0 + (cell.astype(jnp.float32) + 0.5) / G * span
-            delta = pts - center                            # (M, 3)
+            if centers is None:
+                cell, _ = cell_of(pts)
+                centers = aabb0 + (cell.astype(jnp.float32) + 0.5) \
+                    / G * span
+            delta = pts - centers                           # (M, 3)
             xc0 = r[..., 0:3]
             Ji = r[..., 3:12].reshape(M, C, 3, 3)
             val = r[..., 12] > 0.5

@@ -70,7 +70,7 @@ class AvatarModel:
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
-                 n_windows: int = 12,
+                 n_windows: int = 48,
                  samples_per_ray: float = 3.0,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
@@ -525,6 +525,35 @@ class AvatarModel:
         from ..render.raymarcher import (ray_aabb, render_rays,
                                          render_rays_probed, sample_z)
 
+        field_params = state.params["field"] \
+            if isinstance(state.params, dict) else state.params
+        net = self._net_apply(field_params, state.center, state.scale)
+        use_cache = (self.use_warp_cache
+                     and hasattr(self.deformer, "bake_packed_cache"))
+        n_occ = jnp.int32(0)
+        if use_cache:
+            # -- 4. packed warp-cache bake (BEFORE the prepass: its
+            # validity table drives window selection below) --------------
+            G = self.grid_size
+            occ_flat = grid.occupancy.reshape(-1)
+            n_occ = occ_flat.sum()
+            (cell_idx,) = jnp.nonzero(occ_flat, size=cell_budget,
+                                      fill_value=G ** 3)
+            cmask = cell_idx < G ** 3
+            csafe = jnp.where(cmask, cell_idx, 0)
+            span = aabb[1] - aabb[0]
+            ijk = jnp.stack([csafe // (G * G), (csafe // G) % G, csafe % G],
+                            axis=-1).astype(jnp.float32)
+            centers = aabb[0] + (ijk + 0.5) / G * span
+            rows = self.deformer.bake_packed_cache(
+                state.deformer_cano, dstate, centers,
+                net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask)
+            cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
+                .at[cell_idx].set(rows, mode="drop")
+            probe_fn, pfield_fn, occ_fn, field_pts = \
+                self.deformer.make_packed_cache_fns(
+                    cache, aabb, G, net, self.cache_n_cand)
+
         # -- 2. coarse prepass --------------------------------------------
         # Optionally run on a p x p-subsampled ray lattice (image-space
         # blocks share the verdict: neighbouring 540px rays diverge by
@@ -546,21 +575,22 @@ class AvatarModel:
         far_s = jnp.clip(far_s, near_s, fr_sub)
         z, step = sample_z(near_s, far_s, self.prepass_steps, None)
         pts = o_sub[:, None] + z[..., None] * d_sub[:, None]
-        cache_ok = (self.use_warp_cache
-                    and hasattr(self.deformer, "bake_packed_cache"))
-        use_flat = (self.eval_sampling == "flat" and cache_ok
+        use_flat = (self.eval_sampling == "flat" and use_cache
                     and samp_budget is not None)
-        if use_flat:
-            # flat mode samples against the UNDILATED grid: the prepass
-            # stride (span/prepass_steps) is below the cell size, so
-            # strides cannot step over an occupied cell, and the dilated
-            # shell only admits samples whose cache row is invalid anyway
-            # (xplane r2: dilation tripled the kept-sample count and
-            # forced per-frame budget-overflow re-renders)
-            coarse = grid
+        use_windows_mode = (self.eval_sampling == "windows" and use_cache)
+        if use_flat or use_windows_mode:
+            # window selection samples the CACHE-VALIDITY table, not the
+            # raw grid: only cells with a valid baked warp row can render,
+            # and a bloated test grid (ambient density at the threshold)
+            # otherwise exhausts the n_windows cap inside the no-render
+            # halo before the body — the eval-side analog of the train
+            # k_cap truncation pathology. Same gather count (one int32
+            # row per prepass sample); strictly fewer kept samples.
+            occ = occ_fn(pts.reshape(-1, 3)).reshape(z.shape)
         else:
             coarse = grid._replace(occupancy=self._coarse_occupancy(grid))
-        occ = occupancy_lookup(coarse, pts.reshape(-1, 3)).reshape(z.shape)
+            occ = occupancy_lookup(coarse, pts.reshape(-1, 3)) \
+                .reshape(z.shape)
         occ = occ & (z < far_s[..., None])
         hit = occ.any(axis=-1)
         margin = self.prepass_margin_steps * step[:, 0]
@@ -569,7 +599,7 @@ class AvatarModel:
         z_hi = jnp.minimum(jnp.where(occ, z, -jnp.inf).max(axis=-1)
                            + margin, far_s)
         z_lo = jnp.minimum(z_lo, z_hi)
-        use_windows = (self.eval_sampling == "windows" and cache_ok)
+        use_windows = use_windows_mode
         z_w = keep_w = None
         if use_windows or use_flat:
             # sample selection happens HERE: compact each ray's occupied
@@ -650,34 +680,7 @@ class AvatarModel:
             sel = jax.tree.map(
                 lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), sel)
 
-        field_params = state.params["field"] \
-            if isinstance(state.params, dict) else state.params
-        net = self._net_apply(field_params, state.center, state.scale)
-
-        use_cache = (self.use_warp_cache
-                     and hasattr(self.deformer, "bake_packed_cache"))
         if use_cache:
-            # -- 4. packed warp-cache bake ----------------------------------
-            G = self.grid_size
-            occ_flat = grid.occupancy.reshape(-1)
-            n_occ = occ_flat.sum()
-            (cell_idx,) = jnp.nonzero(occ_flat, size=cell_budget,
-                                      fill_value=G ** 3)
-            cmask = cell_idx < G ** 3
-            csafe = jnp.where(cmask, cell_idx, 0)
-            span = aabb[1] - aabb[0]
-            ijk = jnp.stack([csafe // (G * G), (csafe // G) % G, csafe % G],
-                            axis=-1).astype(jnp.float32)
-            centers = aabb[0] + (ijk + 0.5) / G * span
-            rows = self.deformer.bake_packed_cache(
-                state.deformer_cano, dstate, centers,
-                net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask)
-            cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
-                .at[cell_idx].set(rows, mode="drop")
-            probe_fn, pfield_fn, occ_fn, field_pts = \
-                self.deformer.make_packed_cache_fns(
-                    cache, aabb, G, net, self.cache_n_cand)
-
             def one(r):
                 if use_windows:
                     from ..render.raymarcher import render_rays_windows
@@ -706,7 +709,6 @@ class AvatarModel:
         else:
             # non-SNARF / cache-off fallback: full deform per sample over
             # the reference-parity [near, far] span
-            n_occ = jnp.int32(0)  # no bake => no cell-budget overflow
             field_fn = self.deformer.make_frame_field_fn(
                 state.deformer_cano, dstate, net, eval_mode=True)
 
@@ -747,10 +749,28 @@ class AvatarModel:
             else:
                 rid = blk_id[None]
             # ONE field eval over all p^2 pixel offsets (9 separate
-            # launches paid ~9x the fixed gather/copy cost, xplane r2)
+            # launches paid ~9x the fixed gather/copy cost, xplane r2).
+            # The warp-cache row is gathered ONCE per block sample from
+            # the CENTER pixel's ray — the p^2 pixel rays of a block
+            # spread ~p px (~millimetres at body distance), far inside
+            # one 64^3 cell, and the cached-Newton step absorbs the
+            # cross-pixel delta exactly because the row's own cell
+            # center rides along (field_fn(centers=...)). This cuts the
+            # dominant cache gather p^2-fold (16.9 -> 1.9 ms, xplane r2).
             od_q = od[rid.reshape(-1)].reshape(pp, S, 6)
             pts_q = od_q[..., :3] + z_s[None, :, None] * od_q[..., 3:]
-            rgb_s, sigma_s, ok = field_pts(pts_q.reshape(pp * S, 3))
+            qc = (p // 2) * p + p // 2 if p > 1 else 0
+            _, rows_blk = probe_fn(pts_q[qc])                # (S, K*13)
+            G = self.grid_size
+            span = aabb[1] - aabb[0]
+            cell = jnp.clip(jnp.floor((pts_q[qc] - aabb[0]) / span * G),
+                            0, G - 1)
+            centers = aabb[0] + (cell + 0.5) / G * span      # (S, 3)
+            tile = lambda x: jnp.broadcast_to(
+                x[None], (pp, *x.shape)).reshape(pp * x.shape[0],
+                                                 *x.shape[1:])
+            rgb_s, sigma_s, ok = pfield_fn(
+                pts_q.reshape(pp * S, 3), tile(rows_blk), tile(centers))
             rgb_s = rgb_s.reshape(pp, S, 3)
             sigma_s = sigma_s.reshape(pp, S)
             ok = ok.reshape(pp, S) & smask[None]
@@ -893,8 +913,10 @@ class AvatarModel:
             # res ran 9x the kept work (xplane r2)
             p = prepass_shape[2] if prepass_shape is not None else 1
             nb = n // (p * p)
-            m = min(int(nb * self.samples_per_ray), nb * self.n_windows)
-            samp_budget, chunk_eff = self._round_budget(max(m, 1), chunk)
+            hint = getattr(self, "_samp_budget_hint", None)
+            m = hint if hint is not None else int(nb * self.samples_per_ray)
+            m = min(max(m, 1), nb * self.n_windows)
+            samp_budget, chunk_eff = self._round_budget(m, chunk)
         # adaptive bake capacity: the previous frame's occupied-cell count
         # (+15%, 4096-granular) sizes this frame's bake — the default
         # G^3/8 budget padded the bake's Broyden/voxel_J work ~40%
@@ -924,6 +946,11 @@ class AvatarModel:
         self._cell_budget_hint = min(
             self.cell_budget,
             max(4096, -(-int(n_occ * 1.15) // 4096) * 4096))
+        if rec.get("samp_budget") is not None:
+            # the kept-sample count (n_hit slot) sizes the NEXT frame's
+            # flat stream the same way (soft fields keep more samples
+            # than the samples_per_ray prior; sharp fields keep fewer)
+            self._samp_budget_hint = max(8192, int(n_hit * 1.2))
         samp_budget = rec.get("samp_budget")
         if samp_budget is not None:
             # flat mode: the n_hit slot carries the kept-SAMPLE count

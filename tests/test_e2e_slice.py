@@ -279,13 +279,18 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
     img_prod = make(True, production=True).render_frame(
         state, b, chunk=1024)["rgb"]
     assert match_psnr(img_prod) > 25.0, match_psnr(img_prod)
-    # flat (frame-global sample compaction) must match the per-ray
-    # windows path near-exactly: same samples, segmented composite
+    # flat (frame-global sample compaction, center-shared cache rows):
+    # same prepass windows, segmented composite. The shared-row
+    # approximation is resolution-dependent (block pixel spread ~p*z/f vs
+    # the cell size) and this 48px scene is its harshest case — at
+    # production resolutions the spread is millimetres. Bar matches the
+    # windows-vs-full bar.
     img_flat = make(True, production=True, sampling="flat").render_frame(
         state, b, chunk=1024)["rgb"]
+    assert match_psnr(img_flat) > 25.0, match_psnr(img_flat)
     mse = float(np.mean((img_flat - img_prod) ** 2))
     flat_vs_win = -10 * np.log10(max(mse, 1e-12))
-    assert flat_vs_win > 40.0, flat_vs_win
+    assert flat_vs_win > 25.0, flat_vs_win
 
 
 def test_render_frames_pipelined_matches_single(seq_dir, toy_model):

@@ -114,7 +114,36 @@ def main():
     grid = body_grid(state)
     np.asarray(grid.occupancy)
 
-    # warm compile
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    if mode == "train":
+        # 4096-ray patch-batch training step (k32/n128 flagship train)
+        avatar2 = AvatarModel(
+            body, avatar.field, avatar.deformer,
+            n_steps=128, k_cap=32, grid_size=64, noise_steps=0)
+        n_rays = 4096
+        tb = {
+            "rays_o": batch["rays_o"][:n_rays],
+            "rays_d": batch["rays_d"][:n_rays],
+            "near": batch["near"][:n_rays], "far": batch["far"][:n_rays],
+            "rgb": jnp.ones((n_rays, 3)) * 0.5,
+            "alpha": jnp.ones((n_rays,)) * 0.5,
+            "bg_color": jnp.ones((n_rays, 3)),
+            "betas": batch["betas"], "body_pose": batch["body_pose"],
+            "global_orient": batch["global_orient"],
+            "transl": batch["transl"], "idx": batch["idx"],
+        }
+        st, _ = avatar2.train_step(state, tb, jax.random.PRNGKey(0))
+        jax.block_until_ready(st.params)
+
+        def run():
+            s2, losses = avatar2.train_step(state, tb, jax.random.PRNGKey(1))
+            _ = float(losses["loss"])
+
+        trace_and_aggregate(run, "train_step")
+        return
+
+    # warm compile (twice: the 2nd compiles the cell-budget-hint program)
+    avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W))
     avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W))
 
     def run():

@@ -28,7 +28,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -37,11 +36,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return -10.0 * float(np.log10(max(mse, 1e-12)))
 
 
+BONE_RINGS = 2  # mid-bone weight rings: GT motion == LBS motion (toy.py)
+
+
 def build_scene(size: int, n_train: int, n_val: int, root: Path) -> Path:
     from instantavatar_tpu.data.synthetic import make_synthetic_sequence
     return make_synthetic_sequence(
         root, n_frames=n_train + n_val, H=size, W=size,
-        style="capsule", distance=3.0)
+        style="capsule", distance=3.0, bone_rings=BONE_RINGS)
 
 
 def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
@@ -60,11 +62,11 @@ def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
     if reduced:
         deformer = SNARFDeformer(body, resolution=res, cano_pose="a_pose",
                                  n_iters=6, cand_cap=2, n_init_active=4)
-        k_cap, n_steps, eval_n = 8, 128, 48
+        k_cap, n_steps, eval_n = 48, 128, 48
     else:
         deformer = SNARFDeformer(body, resolution=res, cano_pose="a_pose",
                                  n_iters=10, cand_cap=4)
-        k_cap, n_steps, eval_n = 16, 256, 64
+        k_cap, n_steps, eval_n = 96, 256, 64
     if tiny:
         k_cap, n_steps, eval_n = 8, 32, 16
     return AvatarModel(
@@ -122,7 +124,7 @@ def main() -> None:
     gt = [np.asarray(val[i]["rgb"], np.float32)
           for i in range(len(val))]
 
-    body = toy_smpl_model()
+    body = toy_smpl_model(bone_rings=BONE_RINGS)
     avatar = make_flagship(body, reduced=args.reduced, tiny=args.tiny,
                        max_epochs=args.epochs,
                        steps_per_epoch=len(train))
