@@ -40,7 +40,7 @@ def main() -> None:
     from instantavatar_tpu.render.density_grid import make_grid_state
     from instantavatar_tpu.train import AvatarModel
 
-    body = toy_smpl_model()
+    body = toy_smpl_model(bone_rings=3)
     avatar = AvatarModel(
         body, VoxelTriplaneField(),
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
@@ -85,7 +85,10 @@ def main() -> None:
                * (aabb[1] - aabb[0]) + aabb[0])
         d = jnp.linalg.norm(
             pts[:, None] - dstate.verts_smpl[None], axis=-1).min(1)
-        return g._replace(occupancy=(d < 0.1).reshape(G, G, G))
+        # thin shell around the DENSE body verts: cell counts and
+        # per-ray occupied spans match a trained avatar's grid
+        # (a fat occupancy here overstates the render workload)
+        return g._replace(occupancy=(d < 0.08).reshape(G, G, G))
 
     grid = body_grid(state)
     np.asarray(grid.occupancy)  # force

@@ -71,7 +71,7 @@ def main():
     from instantavatar_tpu.train import AvatarModel
 
     H = W = 540
-    body = toy_smpl_model()
+    body = toy_smpl_model(bone_rings=3)
     avatar = AvatarModel(
         body, VoxelTriplaneField(),
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
@@ -109,7 +109,7 @@ def main():
                * (aabb[1] - aabb[0]) + aabb[0])
         dd = jnp.linalg.norm(
             pts[:, None] - dstate.verts_smpl[None], axis=-1).min(1)
-        return g._replace(occupancy=(dd < 0.1).reshape(G, G, G))
+        return g._replace(occupancy=(dd < 0.08).reshape(G, G, G))
 
     grid = body_grid(state)
     np.asarray(grid.occupancy)
