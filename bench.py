@@ -39,6 +39,7 @@ def main() -> None:
     from instantavatar_tpu.models import VoxelTriplaneField
     from instantavatar_tpu.render.density_grid import make_grid_state
     from instantavatar_tpu.train import AvatarModel
+    from instantavatar_tpu.train.model import RenderSession
 
     body = toy_smpl_model(bone_rings=3)
     avatar = AvatarModel(
@@ -94,11 +95,13 @@ def main() -> None:
     np.asarray(grid.occupancy)  # force
 
     # warm/compile: first frame learns the bake cell-budget hint, second
-    # compiles the hint-sized program the timing loop will run
+    # compiles the hint-sized program the timing loop will run (one
+    # session spans warmup + timing so the learned budgets carry over)
+    session = RenderSession()
     avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
-                        image_shape=(H, W))
+                        image_shape=(H, W), session=session)
     avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
-                        image_shape=(H, W))
+                        image_shape=(H, W), session=session)
 
     # steady-state animation throughput: pipelined frames (readback of
     # frame i overlaps frame i+1's compute)
@@ -106,7 +109,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for out in avatar.render_frames(state, [batch] * n_frames,
                                     chunk=CHUNK, grid=grid, depth=2,
-                                    image_shape=(H, W)):
+                                    image_shape=(H, W), session=session):
         assert out["rgb"].shape == (H * W, 3)
     dt = (time.perf_counter() - t0) / n_frames
 

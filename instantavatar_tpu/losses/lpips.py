@@ -154,7 +154,30 @@ class LPIPS:
 
 def _convert_torch_trunk(state: dict, net: str) -> tuple:
     """torchvision ``vgg16().features`` / ``alexnet().features`` state dict
-    (numpy-able tensors) -> ((w HWIO, b), ...)."""
+    (numpy-able tensors) -> ((w HWIO, b), ...).
+
+    TRUNK SCHEMA (for provisioning — the reference pulls these from
+    torchvision, third_parties/lpips/pretrained_networks.py:12-30):
+    an ``.npz`` (or torch ``.pth``, read torch-free) whose keys are the
+    torchvision feature-extractor conv layers, either bare or
+    ``features.``-prefixed::
+
+        {i}.weight / {i}.bias            # or features.{i}.weight / .bias
+        # torch OIHW float32; i = the torchvision features index of each
+        # Conv2d (vgg16: 13 convs at 0,2,5,7,10,12,14,17,19,21,24,26,28;
+        # alexnet: 5 convs at 0,3,6,8,10)
+
+    One-liner to produce it where torchvision exists::
+
+        import numpy as np, torchvision
+        sd = torchvision.models.vgg16(weights="IMAGENET1K_V1")\\
+             .features.state_dict()
+        np.savez("lpips_trunk_vgg.npz",
+                 **{k: v.numpy() for k, v in sd.items()})
+
+    Drop the file at ``losses/weights/lpips_trunk_{vgg,alex}.npz`` (or
+    point INSTANTAVATAR_LPIPS_WEIGHTS at it) and the eval lpips column
+    activates with ``numerically_matched=True``."""
     convs = []
     idx = sorted({int(k.split(".")[0 if k[0].isdigit() else 1])
                   for k in state if k.endswith("weight")})
@@ -223,6 +246,13 @@ def load_lpips(net: str = "vgg", weights_path: str | None = None,
     """
     cfg = vgg16_config() if net == "vgg" else alexnet_config()
     path = weights_path or os.environ.get("INSTANTAVATAR_LPIPS_WEIGHTS")
+    if not path:
+        # well-known drop location: provisioning a trunk file here turns
+        # the lpips eval column on with numerically_matched=True, no env
+        # var or code change needed (see TRUNK SCHEMA note below)
+        default = _WEIGHTS_DIR / f"lpips_trunk_{net}.npz"
+        if default.exists():
+            path = str(default)
     convs = None
     heads = None
     real_trunk = False

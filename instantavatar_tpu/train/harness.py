@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .model import AvatarModel, TrainState
+from .model import AvatarModel, RenderSession, TrainState
 
 __all__ = ["Trainer", "save_checkpoint", "restore_checkpoint",
            "latest_checkpoint"]
@@ -119,6 +119,9 @@ class Trainer:
         self.lr_schedule = lr_schedule
         self._writer = None
         self.best_psnr = -np.inf
+        # one render session for the whole run: val/test renders at the
+        # same resolution reuse learned budget capacities across epochs
+        self.render_session = RenderSession()
 
     @property
     def writer(self):
@@ -251,7 +254,7 @@ class Trainer:
         first = None
         for i, out in enumerate(self.avatar.render_frames(
                 state, batch_gen(), chunk=self.eval_chunk,
-                image_shape=(H, W))):
+                image_shape=(H, W), session=self.render_session)):
             pred = out["rgb"].reshape(H, W, 3)
             ref = stash.pop(i)
             gt = ref["rgb"].reshape(H, W, 3)
@@ -296,8 +299,9 @@ class Trainer:
             n_rays = np.asarray(cano["rays_o"]).reshape(-1, 3).shape[0]
             cano["near"] = np.full((n_rays,), dist - 1, np.float32)
             cano["far"] = np.full((n_rays,), dist + 1, np.float32)
-            cano_out = self.avatar.render_frame(state, cano,
-                                                chunk=self.eval_chunk)
+            cano_out = self.avatar.render_frame(
+                state, cano, chunk=self.eval_chunk,
+                session=self.render_session)
             cano_img = cano_out["rgb"].reshape(H, W, 3)
             cpanel = np.concatenate([gt, pred, cano_img], axis=1)
             self.writer.add_image("val/cano_pose",
@@ -340,7 +344,7 @@ class Trainer:
 
         for i, out in enumerate(self.avatar.render_frames(
                 state, batch_gen(), chunk=self.eval_chunk,
-                image_shape=(H, W))):
+                image_shape=(H, W), session=self.render_session)):
             pred = out["rgb"].reshape(H, W, 3)
             gt = gts.pop(i).reshape(H, W, 3)
             err = np.abs(pred - gt).mean(-1, keepdims=True)

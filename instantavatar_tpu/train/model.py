@@ -33,10 +33,30 @@ from ..render.density_grid import (DensityGridState, initialize_grid,
 from ..render.raymarcher import Rays, render_rays
 from .smpl_params import SMPLParams, lookup_frame
 
-__all__ = ["AvatarModel", "TrainState", "WORLD_AABB"]
+__all__ = ["AvatarModel", "RenderSession", "TrainState", "WORLD_AABB"]
 
 # the reference's hard-coded SMPL-space scene box (raymarcher_acc.py:61-62)
 WORLD_AABB = ((-1.25, -1.55, -1.25), (1.25, 0.95, 1.25))
+
+
+class RenderSession:
+    """Explicit cross-frame budget-learning state for frame rendering.
+
+    The fused frame render sizes two static capacities — the flat-stream
+    sample budget and the bake's occupied-cell budget — from the previous
+    frame's measured counts (+15%/+20%, 4096-granular; PERF.md "budgets
+    track observed counts"). Those learned hints used to live as hidden
+    instance attributes on ``AvatarModel``, which made the otherwise
+    static composition descriptor stateful and thrashed budgets (and
+    recompiles) when one model alternated resolutions or served two
+    states. They now live here, keyed by ``(n_rays, prepass_shape)`` so
+    each resolution learns independently, and callers that render frame
+    sequences pass one session through (``render_frames`` creates one per
+    sequence automatically)."""
+
+    def __init__(self) -> None:
+        self.samp_budget: dict = {}
+        self.cell_budget: dict = {}
 
 
 class TrainState(NamedTuple):
@@ -859,7 +879,8 @@ class AvatarModel:
                      prune_rays: bool = True,
                      grid: DensityGridState | None = None,
                      image_shape: tuple[int, int] | None = None,
-                     ray_budget_frac: float = 0.5
+                     ray_budget_frac: float = 0.5,
+                     session: RenderSession | None = None
                      ) -> dict[str, jax.Array]:
         """Full-frame inference (render_image_fast analog, DNeRF.py:72-97):
         test-grid build + one fused render dispatch + one host fetch.
@@ -868,21 +889,28 @@ class AvatarModel:
         overflows it (body covers more pixels than budgeted), the frame is
         transparently re-rendered with the full-ray budget (one extra
         compile the first time it happens).
+
+        ``session`` carries learned budget hints across frames; pass one
+        ``RenderSession`` through a sequence of calls to reuse the learned
+        capacities (without one, every call sizes from the static priors).
         """
         return self._finish_frame(self._render_frame_async(
             state, batch, chunk, prune_rays, grid, ray_budget_frac,
-            image_shape))
+            image_shape, session))
 
     def _render_frame_async(self, state: TrainState, batch,
                             chunk: int = 32768,
                             prune_rays: bool = True,
                             grid: DensityGridState | None = None,
                             ray_budget_frac: float = 0.5,
-                            image_shape: tuple[int, int] | None = None):
+                            image_shape: tuple[int, int] | None = None,
+                            session: RenderSession | None = None):
         """Enqueue a full frame WITHOUT forcing a host sync; returns an
         in-flight record for ``_finish_frame`` — callers that render frame
         sequences overlap the fetch of frame i with the compute of frame
         i+1 (render_frames)."""
+        if session is None:
+            session = RenderSession()  # per-call: priors only, no learning
         if grid is None:
             grid = self.build_test_grid(state, batch)
         n = batch["rays_o"].shape[0]
@@ -913,7 +941,7 @@ class AvatarModel:
             # res ran 9x the kept work (xplane r2)
             p = prepass_shape[2] if prepass_shape is not None else 1
             nb = n // (p * p)
-            hint = getattr(self, "_samp_budget_hint", None)
+            hint = session.samp_budget.get((n, prepass_shape))
             m = hint if hint is not None else int(nb * self.samples_per_ray)
             m = min(max(m, 1), nb * self.n_windows)
             samp_budget, chunk_eff = self._round_budget(m, chunk)
@@ -922,7 +950,7 @@ class AvatarModel:
         # G^3/8 budget padded the bake's Broyden/voxel_J work ~40%
         # (xplane r2); animation poses change n_occ slowly and overflow
         # transparently re-renders
-        cell_budget = min(getattr(self, "_cell_budget_hint", None)
+        cell_budget = min(session.cell_budget.get((n, prepass_shape))
                           or self.cell_budget, self.cell_budget)
         buf = self._render_frame_fused(
             state, fbatch, grid, budget, chunk_eff, cell_budget,
@@ -931,7 +959,8 @@ class AvatarModel:
                     chunk=chunk, budget=budget,
                     cell_budget=cell_budget,
                     prepass_shape=prepass_shape,
-                    samp_budget=samp_budget, chunk_eff=chunk_eff)
+                    samp_budget=samp_budget, chunk_eff=chunk_eff,
+                    session=session)
 
     def _finish_frame(self, rec) -> dict:
         """Fetch an in-flight frame (ONE host transfer); transparently
@@ -941,16 +970,17 @@ class AvatarModel:
         the first time each overflow size appears."""
         out, n_hit, n_occ = self._unpack_frame(rec["buf"])
         n = rec["fbatch"]["rays_o"].shape[0]
+        session, skey = rec["session"], (n, rec["prepass_shape"])
         # learn the bake capacity for the NEXT frame (see
         # _render_frame_async); only shrinks below the configured maximum
-        self._cell_budget_hint = min(
+        session.cell_budget[skey] = min(
             self.cell_budget,
             max(4096, -(-int(n_occ * 1.15) // 4096) * 4096))
         if rec.get("samp_budget") is not None:
             # the kept-sample count (n_hit slot) sizes the NEXT frame's
             # flat stream the same way (soft fields keep more samples
             # than the samples_per_ray prior; sharp fields keep fewer)
-            self._samp_budget_hint = max(8192, int(n_hit * 1.2))
+            session.samp_budget[skey] = max(8192, int(n_hit * 1.2))
         samp_budget = rec.get("samp_budget")
         if samp_budget is not None:
             # flat mode: the n_hit slot carries the kept-SAMPLE count
@@ -981,16 +1011,23 @@ class AvatarModel:
                       grid: DensityGridState | None = None,
                       depth: int = 2,
                       ray_budget_frac: float = 0.5,
-                      image_shape: tuple[int, int] | None = None):
+                      image_shape: tuple[int, int] | None = None,
+                      session: RenderSession | None = None):
         """Pipelined frame-sequence renderer (animate/novel_view/bench):
         keeps ``depth`` frames in flight so the ~33 ms host-fetch latency
         of frame i overlaps frame i+1's on-device compute (the TPU analog
-        of overlapping bake_{n+1} with render_n). Yields numpy dicts."""
+        of overlapping bake_{n+1} with render_n). Yields numpy dicts.
+
+        One ``RenderSession`` spans the sequence (created here if not
+        passed), so later frames reuse the budget capacities learned from
+        earlier ones."""
+        session = session or RenderSession()
         inflight = []
         for batch in batches:
             inflight.append(self._render_frame_async(
                 state, batch, chunk=chunk, grid=grid,
-                ray_budget_frac=ray_budget_frac, image_shape=image_shape))
+                ray_budget_frac=ray_budget_frac, image_shape=image_shape,
+                session=session))
             if len(inflight) >= depth:
                 yield self._finish_frame(inflight.pop(0))
         for rec in inflight:

@@ -148,17 +148,20 @@ def main():
 
     # 6. fused frame jit, timed two ways: synchronous single frame, and
     # pipelined steady state
-    avatar.render_frame(state, batch, chunk=CHUNK, grid=grid)
+    from instantavatar_tpu.train.model import RenderSession
+    sess = RenderSession()
+    avatar.render_frame(state, batch, chunk=CHUNK, grid=grid, session=sess)
     t0 = time.perf_counter()
     for _ in range(3):
-        avatar.render_frame(state, batch, chunk=CHUNK, grid=grid)
+        avatar.render_frame(state, batch, chunk=CHUNK, grid=grid, session=sess)
     dt = (time.perf_counter() - t0) / 3
     print(f"sync frame: {dt*1e3:.1f} ms -> {H*W/dt/1e3:.0f}k rays/s")
 
     n_frames = 8
     t0 = time.perf_counter()
     for out in avatar.render_frames(state, [batch] * n_frames,
-                                    chunk=CHUNK, grid=grid, depth=2):
+                                    chunk=CHUNK, grid=grid, depth=2,
+                                    session=sess):
         pass
     dt = (time.perf_counter() - t0) / n_frames
     print(f"pipelined frame: {dt*1e3:.1f} ms -> {H*W/dt/1e3:.0f}k rays/s")

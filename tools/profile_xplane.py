@@ -143,11 +143,13 @@ def main():
         return
 
     # warm compile (twice: the 2nd compiles the cell-budget-hint program)
-    avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W))
-    avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W))
+    from instantavatar_tpu.train.model import RenderSession
+    sess = RenderSession()
+    avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W), session=sess)
+    avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W), session=sess)
 
     def run():
-        out = avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W))
+        out = avatar.render_frame(state, batch, chunk=32768, grid=grid, image_shape=(H, W), session=sess)
         _ = out["rgb"][0]
 
     trace_and_aggregate(run, "fused_frame")

@@ -161,16 +161,21 @@ def main() -> None:
         av = make_flagship(body, reduced=reduced, eval_sampling=sampling, tiny=args.tiny)
         imgs = render_val(av, state, val, args.size)
         p = float(np.mean([psnr(im, g) for im, g in zip(imgs, gt)]))
-        # rays/s on the first val frame, pipelined x4
+        # rays/s on the first val frame, pipelined x4 (one session spans
+        # warmup + timing so the learned budgets carry over)
+        from instantavatar_tpu.train.model import RenderSession
+        sess = RenderSession()
         b = {k: jnp.asarray(v) for k, v in val[0].items()
              if k not in ("rgb", "alpha")}
-        list(av.render_frames(state, [b], chunk=32768,
-                              image_shape=(args.size, args.size)))
+        list(av.render_frames(state, [b] * 2, chunk=32768,
+                              image_shape=(args.size, args.size),
+                              session=sess))
         t = time.perf_counter()
         n_rep = 4
         for _ in av.render_frames(state, [b] * n_rep, chunk=32768,
                                   depth=2,
-                                  image_shape=(args.size, args.size)):
+                                  image_shape=(args.size, args.size),
+                                  session=sess):
             pass
         rps = args.size ** 2 * n_rep / (time.perf_counter() - t)
         table.append({"config": name, "psnr": round(p, 2),
