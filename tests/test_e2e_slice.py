@@ -118,6 +118,7 @@ def test_e2e_grid_training_and_render_frame(seq_dir, toy_model):
     assert np.isfinite(out["rgb"]).all()
 
 
+@pytest.mark.slow
 def test_e2e_snarf_training(seq_dir, toy_model):
     """Production deformer path: SNARF Broyden search end-to-end in the
     train loop (SURVEY §7.2 step 6)."""
@@ -221,6 +222,7 @@ def test_e2e_smpl_init_per_frame_grids(seq_dir, toy_model):
     assert np.isfinite(np.asarray(out["rgb"])).all()
 
 
+@pytest.mark.slow
 def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
     """VERDICT r1 acceptance: the packed warp-cache render (fused
     occupancy+candidate gather, cached-Newton refine, cell-level max-sigma

@@ -56,6 +56,7 @@ def test_optimizer_freeze_field():
     assert float(jnp.abs(updates["smpl"].transl).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_fit_recovers_perturbed_pose(tmp_path):
     """The core fit.py capability: start from wrong per-frame transl, and
     joint optimization must reduce pose error while fitting the field."""
