@@ -10,6 +10,14 @@ bash/run-peoplesnapshot.sh downscale=2).
 The occupancy grid is seeded from the posed body mesh (the reference's
 smpl_init path, density_grid.py:53-75) so ray pruning and sample counts
 match a *trained* avatar's workload rather than an untrained field's noise.
+For the same reason the field's sigma head is biased to ~100 (opaque
+body): a trained avatar is opaque, and the reference's composite_test
+kernel early-outs each ray at T <= 1e-4 behind the surface
+(raymarcher.cu:222-227) — with a transparent untrained field the
+transmittance-terminated window selection (model.py) would march the full
+body depth, a workload no trained avatar presents. The quality side of
+this configuration is gated separately by tools/quality_bench.py's
+budget table on an actually-trained scene.
 
 Prints ONE JSON line: rays/sec with vs_baseline relative to the driver
 target of 30 FPS @ 540px (= 8,748,000 rays/sec, BASELINE.md).
@@ -50,7 +58,15 @@ def main() -> None:
         eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0)
 
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+    # opaque-body workload: bias the sigma head so the field is opaque
+    # like a trained avatar (see module docstring)
+    fp = state.params["field"]
+    sb = list(fp.sigma_b)
+    sb[-1] = sb[-1].at[0].set(100.0)
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(sigma_b=tuple(sb))})
 
+    from instantavatar_tpu.data.rays import make_ray_basis
     K = np.array([[2000.0, 0, W / 2], [0, 2000.0, H / 2], [0, 0, 1]])
     rays_o, rays_d = make_ray_grid(K, np.eye(4), H, W)
     transl = np.array([0.0, 0.15, 5.0], np.float32)
@@ -68,6 +84,7 @@ def main() -> None:
         "global_orient": jnp.zeros((3,)),
         "transl": jnp.asarray(transl),
         "idx": jnp.int32(0),
+        "ray_basis": jnp.asarray(make_ray_basis(K, np.eye(4))),
     }
 
     # body-shaped occupancy (smpl_init-style) for a trained-like workload

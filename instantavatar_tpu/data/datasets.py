@@ -23,7 +23,7 @@ from typing import Any, Iterator
 
 import numpy as np
 
-from .rays import make_ray_grid, near_far_from_transl
+from .rays import make_ray_basis, make_ray_grid, near_far_from_transl
 from .samplers import EdgeSampler, PatchSampler
 
 __all__ = ["load_smpl_param", "AvatarDataset", "AvatarDataModule"]
@@ -95,6 +95,7 @@ class AvatarDataset:
         self.downscale = downscale
         self.image_shape = (H, W)
         self.rays_o, self.rays_d = make_ray_grid(K, c2w, H, W)
+        self.ray_basis = make_ray_basis(K, c2w)
 
         sl = slice(start, end + 1, skip)
         self.img_lists = sorted(glob.glob(f"{root}/images/*.png"))[sl]
@@ -184,6 +185,8 @@ class AvatarDataset:
             "transl": self.smpl_params["transl"][idx],
             "alpha": alpha, "bg_color": bg, "idx": np.int32(idx),
         }
+        if smp is None:
+            datum["ray_basis"] = self.ray_basis
         ray_shape = rays_d.shape[:-1]
         if self.near is not None and self.far is not None:
             datum["near"] = np.full(ray_shape, self.near, np.float32)
@@ -233,6 +236,11 @@ class AvatarDataset:
             "bg_color": bg,
             "idx": np.int32(idx),
         }
+        if self.sampler is None:
+            # full-image batches carry the pixel-grid generator so the
+            # fused flat render computes per-pixel dirs instead of
+            # gathering them (make_ray_basis)
+            datum["ray_basis"] = self.ray_basis
         ray_shape = rays_d.shape[:-1]
         if self.near is not None and self.far is not None:
             datum["near"] = np.full(ray_shape, self.near, np.float32)

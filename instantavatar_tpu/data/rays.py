@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_ray_grid", "near_far_from_transl"]
+__all__ = ["make_ray_grid", "make_ray_basis", "near_far_from_transl"]
 
 
 def make_ray_grid(K: np.ndarray, c2w: np.ndarray, H: int, W: int
@@ -34,6 +34,22 @@ def make_ray_grid(K: np.ndarray, c2w: np.ndarray, H: int, W: int
     o_world = np.broadcast_to(np.asarray(c2w)[:3, 3], d_world.shape)
     return (o_world.reshape(H, W, 3).astype(np.float32),
             d_world.reshape(H, W, 3).astype(np.float32))
+
+
+def make_ray_basis(K: np.ndarray, c2w: np.ndarray) -> np.ndarray:
+    """Pinhole ray-grid generator basis: (4, 3) rows [o, b0, bx, by] with
+    the UNnormalized world direction of pixel (x, y) being
+    ``b0 + x*bx + y*by`` (and ``make_ray_grid``'s dirs its normalization).
+
+    Full-image batches carry this so the fused flat-eval render can
+    COMPUTE each pixel's direction from its block's coordinates instead of
+    gathering per-pixel ray rows — at 540px the (9 offsets x stream) od
+    gather plus its index copies cost ~65 ms/frame (xplane r3)."""
+    Kinv = np.linalg.inv(K)
+    R = np.asarray(c2w)[:3, :3]
+    cols = (np.stack([[0, 0, 1.0], [1, 0, 0], [0, 1, 0]]) @ Kinv.T) @ R.T
+    return np.concatenate([np.asarray(c2w)[:3, 3][None], cols]) \
+        .astype(np.float32)
 
 
 def near_far_from_transl(transl: np.ndarray, margin: float = 1.0

@@ -465,7 +465,8 @@ class SNARFDeformer:
     def bake_packed_cache(self, canonical: SnarfCanonical,
                           frame: SnarfFrame, cells: jax.Array,
                           net_sigma_fn=None,
-                          cell_mask: jax.Array | None = None) -> jax.Array:
+                          cell_mask: jax.Array | None = None,
+                          return_sigma: bool = False):
         """Full Broyden search on posed-space cell centers -> packed rows.
 
         Args:
@@ -474,8 +475,14 @@ class SNARFDeformer:
             given, candidates are sorted by baked sigma descending.
           cell_mask: optional (C,) bool; False rows are zeroed (used for
             padding when the occupied-cell count is dynamic).
+          return_sigma: also return the per-cell max baked sigma (C,)
+            (0 where no valid candidate) — drives the transmittance-
+            terminated window selection (the flat-eval analog of the
+            reference composite_test kernel's T<=1e-4 early-out,
+            raymarcher.cu:200-235).
         Returns:
-          rows (C, K * 13) float32, K = min(cand_cap, active inits).
+          rows (C, K * 13) float32, K = min(cand_cap, active inits);
+          with ``return_sigma`` a (rows, sigma_cell) tuple.
         """
         x, J_inv, strict, res_sq, in_b = self._search_raw(canonical, frame,
                                                           cells)
@@ -493,21 +500,35 @@ class SNARFDeformer:
             Jf = jnp.take_along_axis(Jf, order[..., None].repeat(9, -1),
                                      axis=1)
             valid = keep
-        if net_sigma_fn is not None and K > 1:
+        sigma_cell = None
+        if net_sigma_fn is not None and (K > 1 or return_sigma):
             sigma = net_sigma_fn(xc.reshape(C * K, 3)).reshape(C, K)
             sigma = jnp.where(valid, sigma, -jnp.inf)
-            # bake-time sort over the tiny K axis (NOT a hot-path sort)
-            order2 = jnp.argsort(-sigma, axis=-1)
-            xc = jnp.take_along_axis(xc, order2[..., None].repeat(3, -1),
-                                     axis=1)
-            Jf = jnp.take_along_axis(Jf, order2[..., None].repeat(9, -1),
-                                     axis=1)
-            valid = jnp.take_along_axis(valid, order2, axis=1)
+            if K > 1:
+                # bake-time sort over the tiny K axis (NOT a hot-path sort)
+                order2 = jnp.argsort(-sigma, axis=-1)
+                xc = jnp.take_along_axis(xc,
+                                         order2[..., None].repeat(3, -1),
+                                         axis=1)
+                Jf = jnp.take_along_axis(Jf,
+                                         order2[..., None].repeat(9, -1),
+                                         axis=1)
+                valid = jnp.take_along_axis(valid, order2, axis=1)
+                sigma = jnp.take_along_axis(sigma, order2, axis=1)
+            sigma_cell = jnp.maximum(sigma.max(axis=-1), 0.0)
+            sigma_cell = jnp.where(valid.any(-1), sigma_cell, 0.0)
         rows = jnp.concatenate(
             [xc, Jf, valid.astype(jnp.float32)[..., None]], axis=-1)
         if cell_mask is not None:
             rows = rows * cell_mask[:, None, None].astype(rows.dtype)
-        return rows.reshape(C, K * self.ROW_FLOATS)
+            if sigma_cell is not None:
+                sigma_cell = sigma_cell * cell_mask.astype(sigma_cell.dtype)
+        rows = rows.reshape(C, K * self.ROW_FLOATS)
+        if return_sigma:
+            if sigma_cell is None:
+                sigma_cell = jnp.zeros((C,), rows.dtype)
+            return rows, sigma_cell
+        return rows
 
     def make_packed_cache_fns(self, cache_rows: jax.Array,
                               grid_aabb: jax.Array, grid_size: int,

@@ -17,6 +17,7 @@ between two compiled variants — ``train_step`` and ``train_step_update``
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -37,6 +38,21 @@ __all__ = ["AvatarModel", "RenderSession", "TrainState", "WORLD_AABB"]
 
 # the reference's hard-coded SMPL-space scene box (raymarcher_acc.py:61-62)
 WORLD_AABB = ((-1.25, -1.55, -1.25), (1.25, 0.95, 1.25))
+
+# Process-wide registry of (n_rays, prepass_shape, samp_budget) triples
+# whose fused-render program crashes the libtpu backend compiler (regalloc
+# RET_CHECK, live_range_finder.cc:29 — reproduced at e.g. n=291600,
+# samp_budget=393216 on v5e, independent of graph content; see
+# _call_fused_size_hopped). Budget sizes only pad, so hopping to the next
+# chunk multiple is semantically free; remembering bad sizes avoids paying
+# a ~90 s failed compile more than once per size per process.
+_BAD_FUSED_SIZES: set[tuple] = set()
+
+
+def _is_backend_compiler_crash(e: Exception) -> bool:
+    msg = str(e)
+    return ("RET_CHECK" in msg or "INTERNAL" in msg
+            or "tpu_compile_helper" in msg)
 
 
 class RenderSession:
@@ -91,6 +107,7 @@ class AvatarModel:
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
                  n_windows: int = 48,
+                 term_T: float | None = 1e-5,
                  samples_per_ray: float = 3.0,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
@@ -127,6 +144,15 @@ class AvatarModel:
         # compaction
         self.eval_sampling = eval_sampling
         self.n_windows = n_windows
+        # transmittance-terminated window selection (flat/windows modes):
+        # drop prepass samples whose estimated transmittance — from the
+        # per-cell max BAKED sigma, cumulated at the prepass stride — has
+        # fallen below term_T. The reference's composite_test CUDA kernel
+        # early-outs rays at T <= 1e-4 (raymarcher.cu:200-235); the
+        # static-shape analog prunes the sample STREAM instead. One decade
+        # of margin (1e-5 vs 1e-4) absorbs the cell-granular sigma
+        # over-estimate. None disables.
+        self.term_T = term_T
         # "flat" sample budget: average kept samples per ray the static
         # stream is sized for (overflow transparently re-renders)
         self.samples_per_ray = samples_per_ray
@@ -550,6 +576,8 @@ class AvatarModel:
         net = self._net_apply(field_params, state.center, state.scale)
         use_cache = (self.use_warp_cache
                      and hasattr(self.deformer, "bake_packed_cache"))
+        want_term = (self.term_T is not None
+                     and self.eval_sampling in ("flat", "windows"))
         n_occ = jnp.int32(0)
         if use_cache:
             # -- 4. packed warp-cache bake (BEFORE the prepass: its
@@ -565,14 +593,30 @@ class AvatarModel:
             ijk = jnp.stack([csafe // (G * G), (csafe // G) % G, csafe % G],
                             axis=-1).astype(jnp.float32)
             centers = aabb[0] + (ijk + 0.5) / G * span
-            rows = self.deformer.bake_packed_cache(
+            baked = self.deformer.bake_packed_cache(
                 state.deformer_cano, dstate, centers,
-                net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask)
+                net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask,
+                return_sigma=want_term)
+            rows, sig_cell = baked if want_term else (baked, None)
             cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
                 .at[cell_idx].set(rows, mode="drop")
             probe_fn, pfield_fn, occ_fn, field_pts = \
                 self.deformer.make_packed_cache_fns(
                     cache, aabb, G, net, self.cache_n_cand)
+            if want_term:
+                # sigma validity table: ONE f32 gather per prepass sample
+                # yields BOTH the cache-validity bit (v >= 0; empty cells
+                # hold -1) and sigma_hat for the transmittance cut. relu
+                # matches compositing's alpha = 1-exp(-relu(s)d). (An
+                # int32-quantized encoding hit a libtpu regalloc
+                # RET_CHECK, live_range_finder.cc:29 — f32 is the same
+                # gather width and dodges the compiler bug.)
+                R = self.deformer.ROW_FLOATS
+                K = rows.shape[-1] // R
+                any_valid = (rows.reshape(-1, K, R)[..., 12] > 0.5).any(-1)
+                q = jnp.where(any_valid, jax.nn.relu(sig_cell), -1.0)
+                sig_table = jnp.full((G ** 3,), -1.0, jnp.float32) \
+                    .at[cell_idx].set(q, mode="drop")
 
         # -- 2. coarse prepass --------------------------------------------
         # Optionally run on a p x p-subsampled ray lattice (image-space
@@ -598,7 +642,46 @@ class AvatarModel:
         use_flat = (self.eval_sampling == "flat" and use_cache
                     and samp_budget is not None)
         use_windows_mode = (self.eval_sampling == "windows" and use_cache)
-        if use_flat or use_windows_mode:
+        if (use_flat or use_windows_mode) and want_term:
+            # window selection samples the sigma validity table (see the
+            # bake above): ONE f32 gather yields cache validity AND the
+            # per-cell baked sigma, whose running optical depth at the
+            # prepass stride terminates each ray once estimated
+            # transmittance falls below term_T — samples behind an opaque
+            # surface never enter the stream (composite_test early-out
+            # economics, raymarcher.cu:222-227). This is where an opaque
+            # trained avatar's per-ray work collapses to the front
+            # surface.
+            G = self.grid_size
+            span_g = aabb[1] - aabb[0]
+            p_flat = pts.reshape(-1, 3)
+            rel = (p_flat - aabb[0]) / span_g
+            inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+            cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
+            qv = jnp.take(sig_table,
+                          (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2])
+            qv = jnp.where(inside, qv, -1.0).reshape(z.shape)
+            occ = qv >= 0.0
+            tau = jnp.maximum(qv, 0.0) * step  # (nr, S) opt. depth/stride
+            # Per-ray termination INDEX, not a per-sample mask product:
+            # count samples whose exclusive prefix optical depth (via one
+            # (nr,S)@(S,S) strict-lower MXU matmul) keeps estimated
+            # transmittance above term_T, then cut with an iota compare.
+            # Feeding a second full (nr,S) data-dependent mask into the
+            # selection fusion trips a libtpu regalloc RET_CHECK
+            # (live_range_finder.cc:29, ordinal-stable across int32/f32/
+            # barrier/cumsum-vs-matmul encodings); the (nr,) scalar + iota
+            # broadcast compiles clean. Monotonicity of the prefix makes
+            # the two formulations identical.
+            S_pre = tau.shape[-1]
+            excl = jnp.tril(jnp.ones((S_pre, S_pre), tau.dtype), k=-1)
+            log_t_excl = -(tau @ excl.T)
+            n_live = (log_t_excl > math.log(self.term_T)) \
+                .sum(-1).astype(jnp.int32)              # (nr,)
+            n_live = jax.lax.optimization_barrier(n_live)
+            occ = occ & (jnp.arange(S_pre, dtype=jnp.int32)[None]
+                         < n_live[:, None])
+        elif use_flat or use_windows_mode:
             # window selection samples the CACHE-VALIDITY table, not the
             # raw grid: only cells with a valid baked warp row can render,
             # and a bloated test grid (ambient density at the threshold)
@@ -755,7 +838,6 @@ class AvatarModel:
             # pure reshape/transpose — the whole flat path has ZERO
             # scatters.
             from ..render.compositing import composite_stream
-            od = jnp.concatenate([rays_s.o, rays_s.d], axis=-1)  # (n, 6)
             S = samp_budget
             pp = p * p
             z_s, dt_s = zdt_s[:, 0], zdt_s[:, 1]
@@ -764,10 +846,6 @@ class AvatarModel:
                 by, bx = blk_id // Wb, blk_id % Wb
                 qy = jnp.repeat(jnp.arange(p), p)                # (pp,)
                 qx = jnp.tile(jnp.arange(p), p)
-                rid = ((by[None] * p + qy[:, None]) * Ws
-                       + bx[None] * p + qx[:, None])             # (pp, S)
-            else:
-                rid = blk_id[None]
             # ONE field eval over all p^2 pixel offsets (9 separate
             # launches paid ~9x the fixed gather/copy cost, xplane r2).
             # The warp-cache row is gathered ONCE per block sample from
@@ -777,8 +855,40 @@ class AvatarModel:
             # cross-pixel delta exactly because the row's own cell
             # center rides along (field_fn(centers=...)). This cuts the
             # dominant cache gather p^2-fold (16.9 -> 1.9 ms, xplane r2).
-            od_q = od[rid.reshape(-1)].reshape(pp, S, 6)
-            pts_q = od_q[..., :3] + z_s[None, :, None] * od_q[..., 3:]
+            basis = rbatch.get("ray_basis")
+            if basis is not None and prepass_shape is not None:
+                # pixel dirs COMPUTED from the pinhole generator basis
+                # (make_ray_basis) instead of gathered per (offset,
+                # sample): the (pp*S,) od gather + its index copies cost
+                # ~65 ms/frame at 540px (xplane r3); this is pure
+                # vectorized math. The basis rides the same w2s rotation
+                # as the rays (o is the camera center, constant).
+                rb = self.deformer.transform_rays_w2s(
+                    dstate, Rays(o=basis[:1], d=basis[1:],
+                                 near=jnp.zeros((1,)),
+                                 far=jnp.ones((1,))))
+                o_s = rb.o[0]
+                b0_s, bx_s, by_s = rb.d[0], rb.d[1], rb.d[2]
+                if p > 1:
+                    pxs = bx[None] * p + qx[:, None]             # (pp, S)
+                    pys = by[None] * p + qy[:, None]
+                else:
+                    pxs = (blk_id % Ws)[None]
+                    pys = (blk_id // Ws)[None]
+                d_un = (b0_s + pxs[..., None] * bx_s
+                        + pys[..., None] * by_s)                 # (pp,S,3)
+                d_q = d_un / jnp.linalg.norm(d_un, axis=-1,
+                                             keepdims=True)
+                pts_q = o_s + z_s[None, :, None] * d_q
+            else:
+                od = jnp.concatenate([rays_s.o, rays_s.d], axis=-1)
+                if p > 1:
+                    rid = ((by[None] * p + qy[:, None]) * Ws
+                           + bx[None] * p + qx[:, None])         # (pp, S)
+                else:
+                    rid = blk_id[None]
+                od_q = od[rid.reshape(-1)].reshape(pp, S, 6)
+                pts_q = od_q[..., :3] + z_s[None, :, None] * od_q[..., 3:]
             qc = (p // 2) * p + p // 2 if p > 1 else 0
             _, rows_blk = probe_fn(pts_q[qc])                # (S, K*13)
             G = self.grid_size
@@ -952,7 +1062,7 @@ class AvatarModel:
         # transparently re-renders
         cell_budget = min(session.cell_budget.get((n, prepass_shape))
                           or self.cell_budget, self.cell_budget)
-        buf = self._render_frame_fused(
+        buf, samp_budget = self._call_fused_size_hopped(
             state, fbatch, grid, budget, chunk_eff, cell_budget,
             prepass_shape, samp_budget)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
@@ -961,6 +1071,41 @@ class AvatarModel:
                     prepass_shape=prepass_shape,
                     samp_budget=samp_budget, chunk_eff=chunk_eff,
                     session=session)
+
+    def _call_fused_size_hopped(self, state, fbatch, grid, budget,
+                                chunk_eff, cell_budget, prepass_shape,
+                                samp_budget):
+        """Dispatch the fused render, hopping the flat-stream sample
+        budget past sizes the backend TPU compiler cannot compile.
+
+        libtpu's regalloc hits a RET_CHECK (live_range_finder.cc:29) on
+        this program at specific static sizes (reproduced: n=291600,
+        samp_budget=393216, v5e — content-independent: same crash with
+        the termination mask, without it, and across int32/f32/barrier
+        re-encodings). The sample budget is pure padding, so the next
+        chunk multiple renders identically; bad sizes are remembered
+        process-wide (_BAD_FUSED_SIZES) so each costs at most one failed
+        compile per process."""
+        n = fbatch["rays_o"].shape[0]
+        last = None
+        for _ in range(16):
+            key = (n, prepass_shape, samp_budget)
+            if samp_budget is not None and key in _BAD_FUSED_SIZES:
+                samp_budget += chunk_eff
+                continue
+            try:
+                return self._render_frame_fused(
+                    state, fbatch, grid, budget, chunk_eff, cell_budget,
+                    prepass_shape, samp_budget), samp_budget
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if samp_budget is None or not _is_backend_compiler_crash(e):
+                    raise
+                _BAD_FUSED_SIZES.add(key)
+                samp_budget += chunk_eff
+                last = e
+        raise RuntimeError(
+            f"no compilable flat-stream size found near {samp_budget} "
+            f"(16 hops tried)") from last
 
     def _finish_frame(self, rec) -> dict:
         """Fetch an in-flight frame (ONE host transfer); transparently
@@ -1000,7 +1145,7 @@ class AvatarModel:
             cell_budget = rec["cell_budget"]
             if cell_over:
                 cell_budget = -(-n_occ // 4096) * 4096
-            buf = self._render_frame_fused(
+            buf, samp_budget = self._call_fused_size_hopped(
                 rec["state"], rec["fbatch"], rec["grid"], budget,
                 chunk_eff, cell_budget, rec["prepass_shape"], samp_budget)
             out, _, _ = self._unpack_frame(buf)

@@ -347,6 +347,76 @@ def test_render_session_keys_budgets_by_resolution(seq_dir, toy_model,
     assert np.isfinite(out_b["rgb"]).all()
 
 
+def test_fused_size_hop_dodges_backend_compiler_crash(seq_dir, toy_model):
+    """libtpu's regalloc RET_CHECKs on the fused render at specific
+    flat-stream sizes (live_range_finder.cc:29, reproduced at
+    samp_budget=393216/540px on v5e — content-independent). The render
+    must hop to the next chunk multiple (pure padding, identical image),
+    remember the bad size process-wide, and never retry it."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.train import model as model_mod
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SNARFDeformer(toy_model, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+
+    img_ref = avatar.render_frame(state, b, chunk=1024,
+                                  image_shape=(48, 48))["rgb"]
+
+    # spy pass: find the size the first dispatch would use
+    sizes = []
+    orig = type(avatar)._render_frame_fused
+
+    def spy(st, fb, gr, budget, chunk, cell_budget=None,
+            prepass_shape=None, samp_budget=None):
+        sizes.append(samp_budget)
+        return orig(avatar, st, fb, gr, budget, chunk, cell_budget,
+                    prepass_shape, samp_budget)
+    avatar._render_frame_fused = spy
+    avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48))
+    bad = sizes[0]
+    assert bad is not None
+
+    # crash pass: the first-choice size "fails to compile"
+    calls = []
+
+    def crashing(st, fb, gr, budget, chunk, cell_budget=None,
+                 prepass_shape=None, samp_budget=None):
+        calls.append(samp_budget)
+        if samp_budget == bad:
+            raise RuntimeError(
+                "INTERNAL: AOT PJRT error: RET_CHECK failure "
+                "(live_range_finder.cc:29) [synthetic test crash]")
+        return orig(avatar, st, fb, gr, budget, chunk, cell_budget,
+                    prepass_shape, samp_budget)
+    avatar._render_frame_fused = crashing
+    try:
+        img_hop = avatar.render_frame(state, b, chunk=1024,
+                                      image_shape=(48, 48))["rgb"]
+        # padding only — image identical to the unhopped render
+        np.testing.assert_allclose(img_hop, img_ref, atol=1e-5)
+        assert any(k[2] == bad for k in model_mod._BAD_FUSED_SIZES)
+        # second render must skip the bad size without another attempt
+        n_before = len(calls)
+        avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48))
+        assert bad not in calls[n_before:]
+    finally:
+        del avatar._render_frame_fused
+        model_mod._BAD_FUSED_SIZES.clear()
+
+
 def test_render_frames_pipelined_matches_single(seq_dir, toy_model):
     """The pipelined multi-frame renderer must produce the same images as
     frame-by-frame render_frame."""
