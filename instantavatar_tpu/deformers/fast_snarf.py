@@ -347,7 +347,11 @@ class SNARFDeformer:
         # component vectors (exactly like the CUDA kernel's registers,
         # fuse_cuda_kernel_fast.cu:287-415), which measured ~4x faster.
         M = N * I
-        packed = frame.voxel_J_packed
+        # no_grad search (deformer_torch.py:96-97): without this the
+        # backward pass differentiates through every Broyden iteration's
+        # (M, 96) gather, materializing per-iteration residuals — pose
+        # gradients flow only through the correction (_grad_correct)
+        packed = jax.lax.stop_gradient(frame.voxel_J_packed)
         D, H, W = self.vox_shape
         off = canonical.offset
         isc = canonical.inv_scale
@@ -661,21 +665,36 @@ class SNARFDeformer:
         xc, valid, J_inv = self.search(canonical, frame, xd)
         if eval_mode:
             return xc, valid
+        return (self._grad_correct(canonical, frame, xd, xc, valid, J_inv),
+                valid)
+
+    def _grad_correct(self, canonical: SnarfCanonical, frame: SnarfFrame,
+                      xd: jax.Array, xc: jax.Array, valid: jax.Array,
+                      J_inv: jax.Array) -> jax.Array:
+        """Differentiable-pose correction on (possibly compacted) search
+        candidates (deformer_torch.py:50-75).
+
+        Both versions read the trilerped per-frame transform
+        J(x), t(x) = trilerp(voxel_J_packed)(x) instead of re-querying LBS
+        weights and contracting with tfs per point: corner packing and the
+        bake's (M*8, 24) @ (24, 12) matmul are linear, so
+        trilerp(lbs)(x) @ tfs == trilerp(lbs @ tfs)(x) exactly — one
+        96-float f32 row gather per candidate (the weights path gathered a
+        192-float row AND did a per-point (24)x(24,12) contraction), with
+        pose gradients flowing through the bake matmul in prepare()."""
+        xc_sg = jax.lax.stop_gradient(xc)
+        J, t = self._sample_J(canonical, frame, xc_sg)
         if self.version == 1:
             # implicit-diff correction: xc' = -J_inv d(fwd_skin)/d(theta)
-            xd_opt = self.forward_skinning(
-                canonical, frame.tfs, xc)               # (N, I, 3)
+            xd_opt = jnp.einsum("...rc,...c->...r", J, xc_sg) + t
             corr = xd_opt - jax.lax.stop_gradient(xd_opt)
-            corr = -jnp.einsum("nirc,nic->nir",
+            corr = -jnp.einsum("...rc,...c->...r",
                                jax.lax.stop_gradient(J_inv), corr)
-            xc = xc + jnp.where(valid[..., None], corr, 0.0)
-            return xc, valid
-        # version 2: re-skin with grid weights; grads flow into tfs and xd
-        w = self.query_weights(canonical, jax.lax.stop_gradient(xc))
-        T = jnp.einsum("nij,jrc->nirc", w, frame.tfs[:, :3])  # (N,I,3,4)
-        rel = xd[:, None] - T[..., 3]
-        xc2 = jnp.einsum("nic,nicr->nir", rel, T[..., :3])
-        return jnp.where(valid[..., None], xc2, 0.0), valid
+            return xc_sg + jnp.where(valid[..., None], corr, 0.0)
+        # version 2: re-skin with grid transforms; grads flow into tfs/xd
+        rel = xd[:, None] - t
+        xc2 = jnp.einsum("...c,...cr->...r", rel, J)
+        return jnp.where(valid[..., None], xc2, 0.0)
 
     # -- field composition -------------------------------------------------
 
@@ -684,13 +703,15 @@ class SNARFDeformer:
         """Marcher closure: deform -> evaluate net on all candidates ->
         max-sigma select (snarf_deformer.py:139-158)."""
         def field_fn(pts):
-            xc, valid = self.deform(canonical, frame, pts, eval_mode)
+            xc, valid, J_inv = self.search(canonical, frame, pts)
             N, I, _ = xc.shape
             # candidate compaction: of the 13 search lanes usually <=2 are
             # valid — evaluate the (expensive) field only on the first
             # cand_cap valid candidates per sample (static shapes; the
             # dedup filter means dropped extras are genuine duplicates or
-            # rare >cand_cap-way contacts)
+            # rare >cand_cap-way contacts). Compaction runs BEFORE the
+            # gradient correction so the correction's per-candidate row
+            # gather pays for cand_cap lanes, not all I search lanes.
             C = min(self.cand_cap, I)
             if C < I:
                 from ..render.raymarcher import compact_samples
@@ -698,6 +719,14 @@ class SNARFDeformer:
                 valid = keep
                 xc = jnp.take_along_axis(
                     xc, order[..., None].repeat(3, -1), axis=1)
+                if not eval_mode and self.version == 1:
+                    J_inv = jnp.take_along_axis(
+                        J_inv.reshape(N, I, 9),
+                        order[..., None].repeat(9, -1),
+                        axis=1).reshape(N, C, 3, 3)
+            if not eval_mode:
+                xc = self._grad_correct(canonical, frame, pts, xc, valid,
+                                        J_inv)
             rgb, sigma = net_apply(xc.reshape(N * C, 3))
             rgb = rgb.reshape(N, C, 3)
             sigma = sigma.reshape(N, C)
