@@ -537,95 +537,11 @@ class SNARFDeformer:
     def make_packed_cache_fns(self, cache_rows: jax.Array,
                               grid_aabb: jax.Array, grid_size: int,
                               net_apply, n_cand: int = 1):
-        """Marcher closures over the packed cache. Returns
-        (probe_fn, field_fn, occupancy_fn, field_fn_pts):
-
-          * probe_fn/field_fn — the fused single-gather pair for
-            ``render_rays_probed`` (one (M, K*13) row gather per dense
-            sample; rows ride through compaction via take_along_axis);
-          * occupancy_fn/field_fn_pts — the split pair for ``render_rays``
-            (1-byte any-valid gather per dense sample; rows gathered only
-            at the k_cap compacted samples).
-
-        Both implement identical semantics; which is faster depends on how
-        XLA lowers the payload take_along_axis — pick by measurement
-        (AvatarModel.cache_fused_probe).
-        """
-        G = grid_size
-        R = self.ROW_FLOATS
-        K = cache_rows.shape[-1] // R
-        C = min(n_cand, K)
-        aabb0 = grid_aabb[0]
-        span = grid_aabb[1] - grid_aabb[0]
-        # per-cell "has any valid candidate" table (derived once); int32
-        # elements — u8/bool gathers hit XLA's bit-packed pred tiling
-        # (~3x slower, PERF.md)
-        occ_bytes = (cache_rows.reshape(-1, K, R)[..., 12] > 0.5) \
-            .any(-1).astype(jnp.int32)
-
-        def cell_of(pts):
-            rel = (pts - aabb0) / span
-            inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
-            cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
-            return cell, inside
-
-        def flat_cell(pts):
-            cell, inside = cell_of(pts)
-            return (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2], inside
-
-        def probe_fn(pts):
-            flat, inside = flat_cell(pts)
-            rows = jnp.take(cache_rows, flat, axis=0)       # (M, K*13)
-            any_valid = (rows.reshape(-1, K, R)[..., 12] > 0.5).any(-1)
-            return inside & any_valid, rows
-
-        def occupancy_fn(pts):
-            flat, inside = flat_cell(pts)
-            return (jnp.take(occ_bytes, flat) != 0) & inside
-
-        def field_fn_pts(pts):
-            flat, _ = flat_cell(pts)
-            rows = jnp.take(cache_rows, flat, axis=0)
-            return field_fn(pts, rows)
-
-        def field_fn(pts, rows, centers=None):
-            """``centers``: optional (M, 3) cell centers the rows were
-            BAKED for — callers that gather one row per block sample and
-            reuse it across nearby pixel rays (flat eval) must pass the
-            row's own center so the cached-Newton delta is taken against
-            the correct expansion point even when a pixel ray crosses a
-            cell boundary."""
-            M = pts.shape[0]
-            r = rows.reshape(M, K, R)[:, :C]
-            if centers is None:
-                cell, _ = cell_of(pts)
-                centers = aabb0 + (cell.astype(jnp.float32) + 0.5) \
-                    / G * span
-            delta = pts - centers                           # (M, 3)
-            xc0 = r[..., 0:3]
-            Ji = r[..., 3:12].reshape(M, C, 3, 3)
-            val = r[..., 12] > 0.5
-            xc = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, delta)
-            rgb, sigma = net_apply(xc.reshape(M * C, 3))
-            rgb = rgb.reshape(M, C, 3)
-            sigma = sigma.reshape(M, C)
-            finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
-            ok = val & finite
-            sigma = jnp.where(ok, sigma, -1e5)
-            if C == 1:
-                sigma_out, rgb_out = sigma[:, 0], rgb[:, 0]
-                any_ok = ok[:, 0]
-            else:
-                best = jnp.argmax(sigma, axis=-1)
-                sigma_out = jnp.take_along_axis(sigma, best[:, None],
-                                                axis=1)[:, 0]
-                rgb_out = jnp.take_along_axis(
-                    rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
-                any_ok = ok.any(axis=-1)
-            rgb_out = jnp.where(any_ok[:, None], rgb_out, 0.0)
-            return rgb_out, sigma_out, any_ok
-
-        return probe_fn, field_fn, occupancy_fn, field_fn_pts
+        """Marcher closures over the packed cache (shared deformer-agnostic
+        implementation — see packed_cache.make_packed_cache_fns)."""
+        from .packed_cache import make_packed_cache_fns
+        return make_packed_cache_fns(cache_rows, grid_aabb, grid_size,
+                                     net_apply, n_cand, self.ROW_FLOATS)
 
     @staticmethod
     def _filter_duplicates(xc: jax.Array, valid: jax.Array,

@@ -190,6 +190,65 @@ class SMPLDeformer:
         """Uniform deformer interface; cano is unused for this deformer."""
         return self.prepare(betas, body_pose, global_orient, transl)
 
+    # -- packed inverse-warp cache (eval acceleration) ----------------------
+    # Same interface and row format as SNARFDeformer (packed_cache.py):
+    # enables the fused flat-stream frame render for the fit flow
+    # (deformer=smpl), which otherwise fell back to the dense per-sample
+    # march with one (M, V) KNN per chunk. The nearest-vertex inverse warp
+    # xc(xd) = T_inv[nn(xd)] xd is affine within a Voronoi cell, so the
+    # cached-Newton step is exact wherever cell center and sample share a
+    # nearest vertex: J_inv = d xc / d xd = T_inv[:3, :3].
+
+    ROW_FLOATS = 13  # xc(3) + J_inv(9) + valid(1); K = 1 candidate
+
+    def bake_packed_cache(self, cano, state: SMPLDeformerState,
+                          cells: jax.Array, net_sigma_fn=None,
+                          cell_mask: jax.Array | None = None,
+                          return_sigma: bool = False):
+        """KNN inverse warp on posed-space cell centers -> packed rows.
+
+        Args:
+          cells: (C, 3) posed SMPL-space cell centers.
+          net_sigma_fn: canonical sigma closure; only used when
+            ``return_sigma`` (K = 1, nothing to sort).
+          cell_mask: optional (C,) bool; False rows are zeroed (dynamic
+            occupied-cell padding).
+          return_sigma: also return the per-cell baked sigma (C,) driving
+            transmittance-terminated window selection (AvatarModel).
+        Returns:
+          rows (C, 13) float32; with ``return_sigma`` a (rows, sigma_cell)
+          tuple.
+        """
+        dist_sq, idx = nearest_vertex(cells, state.verts_smpl,
+                                      self.knn_chunk)
+        valid = dist_sq < self.threshold ** 2
+        T = jnp.take(state.T_inv, idx, axis=0)            # (C, 4, 4)
+        xc = (T[:, :3, :3] @ cells[..., None])[..., 0] + T[:, :3, 3]
+        rows = jnp.concatenate(
+            [xc, T[:, :3, :3].reshape(-1, 9),
+             valid.astype(jnp.float32)[:, None]], axis=-1)
+        if cell_mask is not None:
+            rows = rows * cell_mask[:, None].astype(rows.dtype)
+        if not return_sigma:
+            return rows
+        if net_sigma_fn is None:
+            sigma_cell = jnp.zeros(cells.shape[:1], rows.dtype)
+        else:
+            sigma_cell = jnp.maximum(net_sigma_fn(xc), 0.0)
+            sigma_cell = jnp.where(valid, sigma_cell, 0.0)
+            if cell_mask is not None:
+                sigma_cell = sigma_cell * cell_mask.astype(sigma_cell.dtype)
+        return rows, sigma_cell
+
+    def make_packed_cache_fns(self, cache_rows: jax.Array,
+                              grid_aabb: jax.Array, grid_size: int,
+                              net_apply, n_cand: int = 1):
+        """Marcher closures over the packed cache (shared deformer-agnostic
+        implementation — see packed_cache.make_packed_cache_fns)."""
+        from .packed_cache import make_packed_cache_fns
+        return make_packed_cache_fns(cache_rows, grid_aabb, grid_size,
+                                     net_apply, n_cand, self.ROW_FLOATS)
+
     def make_frame_field_fn(self, cano, state: SMPLDeformerState, net_apply,
                             eval_mode: bool = False):
         return self.make_field_fn(state, net_apply, eval_mode)

@@ -295,6 +295,47 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
     assert flat_vs_win > 25.0, flat_vs_win
 
 
+def test_smpl_deformer_flat_cache_matches_dense(seq_dir, toy_model):
+    """VERDICT r2 weak #8: the fit-flow deformer (SMPL nearest-vertex)
+    must render through the fused flat-cache path, and the cached render
+    must closely match the cache-off dense march (the KNN inverse warp is
+    affine per Voronoi cell, so the cached-Newton step is near-exact)."""
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+
+    def make(use_cache):
+        return AvatarModel(
+            toy_model, field,
+            SMPLDeformer(toy_model, threshold=0.12, knn_chunk=4096),
+            n_steps=64, k_cap=16, grid_size=32, grid_update_interval=10,
+            noise_steps=0, use_warp_cache=use_cache,
+            eval_n_steps=64, n_windows=24, eval_sampling="flat",
+            optimizer=optax.adam(5e-3))
+
+    avatar = make(True)
+    assert hasattr(avatar.deformer, "bake_packed_cache")
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=4, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(8)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    key = jax.random.PRNGKey(17)
+    for i in range(25):
+        batch = {k: jnp.asarray(v) for k, v in train[i % len(train)].items()}
+        key, sub = jax.random.split(key)
+        state, _ = avatar.step(state, batch, sub)
+
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+    img_dense = make(False).render_frame(state, b, chunk=1024)["rgb"]
+    img_flat = avatar.render_frame(state, b, chunk=1024)["rgb"]
+    assert np.isfinite(img_dense).all() and np.isfinite(img_flat).all()
+    mse = float(np.mean((img_flat - img_dense) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 25.0, psnr
+
+
 def test_render_session_keys_budgets_by_resolution(seq_dir, toy_model,
                                                    tmp_path):
     """VERDICT r2 weak #5: budget hints must not live as hidden state on
