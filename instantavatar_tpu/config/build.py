@@ -134,6 +134,7 @@ def build_avatar(cfg: Any, steps_per_epoch: int = 100):
         optimize_smpl=optimize_smpl,
         is_refine=is_refine,
         smpl_init=bool(mopt.get("smpl_init", False)),
+        train_warp_cache=bool(ropt.get("train_warp_cache", False)),
         loss_weights=loss_weights,
         lpips_fn=lpips_fn,
         optimizer=optimizer)

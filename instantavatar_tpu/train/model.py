@@ -103,6 +103,7 @@ class AvatarModel:
                  is_refine: bool = False,
                  smpl_init: bool = False,
                  use_warp_cache: bool = True,
+                 train_warp_cache: bool = False,
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
@@ -131,6 +132,16 @@ class AvatarModel:
         # cells (SNARF only; PERF.md). Exactness is restored per sample by
         # one cached-Newton step (J_inv rides in the cache row).
         self.use_warp_cache = use_warp_cache
+        # opt-in cached-search TRAINING (SNARF only): bake the per-cell
+        # warp cache inside the jitted step and train the field through
+        # cached-Newton correspondences — the per-sample inverse search
+        # (N*k_cap samples x A lanes x n_iters row gathers, the step's
+        # largest gather cost) collapses to cell_budget cells + ONE row
+        # gather per sample. Pose gradients still flow via _grad_correct
+        # at the cached correspondence; grid updates keep the exact
+        # full-search density query. Off by default pending a measured
+        # quality gate (tools/scaling_bench.py rows).
+        self.train_warp_cache = train_warp_cache
         # candidates the packed render evaluates per sample (1 = cell-level
         # max-baked-sigma select; cand_cap = per-sample argmax parity)
         self.cache_n_cand = cache_n_cand
@@ -306,9 +317,15 @@ class AvatarModel:
         rays_s = self.deformer.transform_rays_w2s(dstate, rays)
         if bg_color is not None and bg_color.ndim > 2:
             bg_color = bg_color.reshape(-1, 3)  # marcher works on flat rays
-        field_fn = self.deformer.make_frame_field_fn(
-            cano, dstate, self._net_apply(params, center, scale),
-            eval_mode=eval_mode)
+        net = self._net_apply(params, center, scale)
+        if (not eval_mode and self.train_warp_cache and grid is not None
+                and hasattr(self.deformer, "bake_packed_cache")
+                and hasattr(self.deformer, "_grad_correct")):
+            field_fn = self._make_train_cache_field_fn(net, cano, dstate,
+                                                       grid)
+        else:
+            field_fn = self.deformer.make_frame_field_fn(
+                cano, dstate, net, eval_mode=eval_mode)
         occupancy_fn = (None if grid is None
                         else lambda pts: occupancy_lookup(grid, pts))
         out = render_rays(
@@ -329,6 +346,73 @@ class AvatarModel:
         }
 
     # -- training ---------------------------------------------------------
+
+    def _make_train_cache_field_fn(self, net, cano, dstate, grid):
+        """Cached-search training field closure (opt-in train_warp_cache).
+
+        Bakes the same per-cell packed warp cache the eval renderer uses
+        (one full inverse search per OCCUPIED CELL instead of per sample),
+        then resolves each marcher sample with one row gather + a
+        cached-Newton step, and applies the differentiable-pose correction
+        (_grad_correct) at that correspondence. Implicit differentiation
+        holds at an approximate root, so gradient structure matches the
+        full-search path up to the O(delta^2) in-cell warp error the eval
+        parity test bounds. The reference re-searches every sample every
+        step (deformer_torch.py:96-128) — this trade exists because on
+        TPU the search is gather-bound and cells are ~30x fewer than
+        samples."""
+        G = self.grid_size
+        aabb = grid.aabb
+        occ_flat = grid.occupancy.reshape(-1)
+        (cell_idx,) = jnp.nonzero(occ_flat, size=self.cell_budget,
+                                  fill_value=G ** 3)
+        cmask = cell_idx < G ** 3
+        csafe = jnp.where(cmask, cell_idx, 0)
+        span = aabb[1] - aabb[0]
+        ijk = jnp.stack([csafe // (G * G), (csafe // G) % G, csafe % G],
+                        axis=-1).astype(jnp.float32)
+        centers = aabb[0] + (ijk + 0.5) / G * span
+        rows = self.deformer.bake_packed_cache(
+            cano, dstate, centers, net_sigma_fn=lambda x: net(x)[1],
+            cell_mask=cmask)
+        cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
+            .at[cell_idx].set(rows, mode="drop")
+        R = self.deformer.ROW_FLOATS
+        K = rows.shape[-1] // R
+        aabb0 = aabb[0]
+
+        def field_fn(pts):
+            M = pts.shape[0]
+            rel = (pts - aabb0) / span
+            inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+            cell = jnp.clip((rel * G).astype(jnp.int32), 0, G - 1)
+            flat = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+            r = jnp.take(cache, flat, axis=0).reshape(M, K, R)
+            ctr = aabb0 + (cell.astype(jnp.float32) + 0.5) / G * span
+            Ji = r[..., 3:12].reshape(M, K, 3, 3)
+            xc = r[..., 0:3] + jnp.einsum("mkrc,mc->mkr", Ji, pts - ctr)
+            val = (r[..., 12] > 0.5) & inside[:, None]
+            xc = self.deformer._grad_correct(cano, dstate, pts, xc, val,
+                                             Ji)
+            rgb, sigma = net(xc.reshape(M * K, 3))
+            rgb = rgb.reshape(M, K, 3)
+            sigma = sigma.reshape(M, K)
+            finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
+            ok = val & finite
+            sigma = jnp.where(ok, sigma, -1e5)
+            if K == 1:
+                sigma_out, rgb_out, any_ok = sigma[:, 0], rgb[:, 0], ok[:, 0]
+            else:
+                best = jnp.argmax(sigma, axis=-1)
+                sigma_out = jnp.take_along_axis(sigma, best[:, None],
+                                                axis=1)[:, 0]
+                rgb_out = jnp.take_along_axis(
+                    rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
+                any_ok = ok.any(axis=-1)
+            rgb_out = jnp.where(any_ok[:, None], rgb_out, 0.0)
+            return rgb_out, sigma_out, any_ok
+
+        return field_fn
 
     def _density_fn(self, params, center, scale, cano, dstate,
                     eval_mode: bool = False):

@@ -295,6 +295,55 @@ def test_packed_cache_render_matches_uncached(seq_dir, toy_model):
     assert flat_vs_win > 25.0, flat_vs_win
 
 
+@pytest.mark.slow
+def test_train_warp_cache_learns_like_full_search(seq_dir, toy_model):
+    """Opt-in cached-search training (train_warp_cache=True) must follow
+    the full-search training trajectory: same init, same batches, similar
+    val render after a few dozen steps (the cached-Newton correspondence
+    is the same approximation the eval parity test bounds)."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+
+    def make(cached):
+        return AvatarModel(
+            toy_model, field,
+            SNARFDeformer(toy_model, resolution=32, cano_pose="da_pose",
+                          knn_chunk=4096),
+            n_steps=64, k_cap=16, grid_size=32, grid_update_interval=10,
+            noise_steps=0, train_warp_cache=cached, eval_n_steps=64,
+            n_windows=24, optimizer=optax.adam(5e-3))
+
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=4, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(8)))
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+
+    imgs = {}
+    for cached in (False, True):
+        avatar = make(cached)
+        state = avatar.init(jax.random.PRNGKey(0),
+                            train.smpl_params["betas"])
+        key = jax.random.PRNGKey(17)
+        losses = []
+        for i in range(30):
+            batch = {k: jnp.asarray(v)
+                     for k, v in train[i % len(train)].items()}
+            key, sub = jax.random.split(key)
+            state, m = avatar.step(state, batch, sub)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], (cached, losses[0], losses[-1])
+        imgs[cached] = np.asarray(
+            avatar.render_frame(state, b, chunk=1024)["rgb"])
+    mse = float(np.mean((imgs[True] - imgs[False]) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 22.0, psnr
+
+
 def test_smpl_deformer_flat_cache_matches_dense(seq_dir, toy_model):
     """VERDICT r2 weak #8: the fit-flow deformer (SMPL nearest-vertex)
     must render through the fused flat-cache path, and the cached render
