@@ -91,6 +91,28 @@ def main() -> None:
         rows.append({"rays": n_rays, "step_ms": round(dt, 1)})
         print(json.dumps(rows[-1]), flush=True)
 
+    # cached-search training row (train_warp_cache=True): same config,
+    # full batch — quantifies the per-sample-search -> per-cell-bake
+    # trade. A FRESH model object: train_step jits with self static
+    # (identity-keyed), so flipping the flag on the compiled model would
+    # silently reuse the full-search executable.
+    avatar_c = AvatarModel(
+        body, VoxelTriplaneField(),
+        SNARFDeformer(body, resolution=128, cano_pose="a_pose",
+                      n_iters=6, cand_cap=2, n_init_active=4),
+        n_steps=128, k_cap=32, grid_size=64, noise_steps=0,
+        train_warp_cache=True, optimizer=optax.adam(5e-3))
+    batch = make_batch(4096, key)
+    st, _ = avatar_c.train_step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(st.params)
+    t0 = time.perf_counter()
+    for i in range(10):
+        st, losses = avatar_c.train_step(st, batch, jax.random.PRNGKey(i))
+    _ = float(losses["loss"])
+    cached_ms = (time.perf_counter() - t0) / 10 * 1e3
+    print(json.dumps({"rays": 4096, "step_ms": round(cached_ms, 1),
+                      "train_warp_cache": True}), flush=True)
+
     full = rows[0]["step_ms"]
     eighth = rows[-1]["step_ms"]
     projected = eighth + comm_ms
