@@ -180,3 +180,26 @@ def test_importance_sampling_concentrates():
     zf = importance_sampling(z, w, 64, jax.random.PRNGKey(0))
     assert abs(float(zf.mean()) - float(z[0, 16])) < 0.05
     assert float(zf.std()) < 0.05
+
+
+def test_ray_basis_reproduces_ray_grid():
+    """make_ray_basis: the (4,3) pinhole generator must reproduce
+    make_ray_grid's per-pixel origins and normalized directions exactly
+    (the fused flat render computes dirs from it instead of gathering
+    per-pixel rows)."""
+    from instantavatar_tpu.data.rays import make_ray_basis, make_ray_grid
+    H, W = 37, 53
+    K = np.array([[200.0, 0, W / 2 + 3], [0, 180.0, H / 2 - 2], [0, 0, 1]])
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.array([[0.0, -1.0, 0.0],
+                            [1.0, 0.0, 0.0],
+                            [0.0, 0.0, 1.0]])
+    c2w[:3, 3] = [0.1, -0.2, 0.3]
+    ro, rd = make_ray_grid(K, c2w, H, W)
+    b = make_ray_basis(K, c2w)
+    ys, xs = np.mgrid[0:H, 0:W]
+    d_un = b[1] + xs[..., None] * b[2] + ys[..., None] * b[3]
+    d = d_un / np.linalg.norm(d_un, axis=-1, keepdims=True)
+    np.testing.assert_allclose(d, rd, atol=2e-6)
+    np.testing.assert_allclose(np.broadcast_to(b[0], ro.shape), ro,
+                               atol=1e-7)
