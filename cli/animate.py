@@ -21,12 +21,23 @@ from instantavatar_tpu.utils.cli import (load_trained_state, parse_cli,
 
 
 def make_camera(downscale: int = 2):
-    from instantavatar_tpu.data.rays import make_ray_grid
+    from instantavatar_tpu.data.rays import make_ray_basis, make_ray_grid
     H = W = 1080 // downscale
     f = 2000.0 / downscale
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
     rays_o, rays_d = make_ray_grid(K, np.eye(4), H, W)
-    return H, W, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+    # (4,3) pinhole generator: the fused flat render computes per-pixel
+    # dirs from it instead of gathering per-sample ray rows (rays.py)
+    basis = make_ray_basis(K, np.eye(4))
+    return H, W, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), basis
+
+
+def _camera_batch_base(H, W, rays_o, rays_d, basis):
+    n_rays = H * W
+    return {
+        "rays_o": rays_o, "rays_d": rays_d, "ray_basis": basis,
+        "bg_color": np.ones((n_rays, 3), np.float32),
+    }
 
 
 def animation_batches(pose_path: Path, betas: np.ndarray,
@@ -37,15 +48,15 @@ def animation_batches(pose_path: Path, betas: np.ndarray,
     trans = data["trans"].astype(np.float32)          # (N, 3)
     trans = trans - trans.mean(axis=0, keepdims=True) \
         + np.array([0.0, 0.15, 5.0], np.float32)
-    H, W, rays_o, rays_d = make_camera(downscale)
+    H, W, rays_o, rays_d, basis = make_camera(downscale)
     n_rays = H * W
+    base = _camera_batch_base(H, W, rays_o, rays_d, basis)
     for i in range(len(poses)):
         dist = float(np.linalg.norm(trans[i]))
         yield H, W, {
-            "rays_o": rays_o, "rays_d": rays_d,
+            **base,
             "near": np.full((n_rays,), dist - 1, np.float32),
             "far": np.full((n_rays,), dist + 1, np.float32),
-            "bg_color": np.ones((n_rays, 3), np.float32),
             "betas": betas.reshape(-1),
             "global_orient": poses[i, :3],
             "body_pose": poses[i, 3:],

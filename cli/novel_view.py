@@ -22,7 +22,7 @@ from instantavatar_tpu.utils.cli import (load_trained_state,  # noqa: E402
 def turntable_batches(betas: np.ndarray, n_frames: int = 60,
                       downscale: int = 2):
     from scipy.spatial.transform import Rotation
-    H, W, rays_o, rays_d = make_camera(downscale)
+    H, W, rays_o, rays_d, basis = make_camera(downscale)
     n_rays = H * W
     body_pose = np.zeros(69, np.float32)
     body_pose[2], body_pose[5] = 0.2, -0.2          # legs slightly apart
@@ -32,7 +32,7 @@ def turntable_batches(betas: np.ndarray, n_frames: int = 60,
         orient = Rotation.from_euler("y", angle).as_rotvec() \
             .astype(np.float32)
         yield H, W, {
-            "rays_o": rays_o, "rays_d": rays_d,
+            "rays_o": rays_o, "rays_d": rays_d, "ray_basis": basis,
             "near": np.full((n_rays,), 0.1, np.float32),
             "far": np.full((n_rays,), 10.0, np.float32),
             "bg_color": np.ones((n_rays, 3), np.float32),
