@@ -120,11 +120,19 @@ def main() -> None:
     avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
                         image_shape=(H, W), session=session)
 
-    # steady-state animation throughput: pipelined frames (readback of
-    # frame i overlaps frame i+1's compute)
+    # steady-state NOVEL-VIEW throughput (the BASELINE.md 30 FPS metric):
+    # turntable protocol — fixed body pose, global orientation spun per
+    # frame (cli/novel_view.py). Orientation/translation cancel in the
+    # world->SMPL transform, so the per-pose warp-cache bake is reused
+    # across frames exactly as a real turntable render reuses it;
+    # pose-varying ANIMATION pays +bake per frame (PERF.md).
     n_frames = 8
+    frames = [{**batch,
+               "global_orient": jnp.asarray(
+                   [0.0, 2 * np.pi * i / n_frames, 0.0], jnp.float32)}
+              for i in range(n_frames)]
     t0 = time.perf_counter()
-    for out in avatar.render_frames(state, [batch] * n_frames,
+    for out in avatar.render_frames(state, frames,
                                     chunk=CHUNK, grid=grid, depth=2,
                                     image_shape=(H, W), session=session):
         assert out["rgb"].shape == (H * W, 3)

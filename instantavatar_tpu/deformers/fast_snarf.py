@@ -466,6 +466,15 @@ class SNARFDeformer:
 
     ROW_FLOATS = 13  # xc(3) + J_inv(9) + valid(1)
 
+    @property
+    def cache_K(self) -> int:
+        """Static candidate-lane count of packed cache rows (the K in
+        (C, K*13)) — lets hosts pre-allocate reuse buffers."""
+        I = len(self.init_bones)
+        if self.n_init_active is not None and self.n_init_active < I:
+            I = self.n_init_active
+        return min(self.cand_cap, I)
+
     def bake_packed_cache(self, canonical: SnarfCanonical,
                           frame: SnarfFrame, cells: jax.Array,
                           net_sigma_fn=None,

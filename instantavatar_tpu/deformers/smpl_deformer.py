@@ -200,6 +200,7 @@ class SMPLDeformer:
     # nearest vertex: J_inv = d xc / d xd = T_inv[:3, :3].
 
     ROW_FLOATS = 13  # xc(3) + J_inv(9) + valid(1); K = 1 candidate
+    cache_K = 1      # static candidate-lane count (see SNARFDeformer)
 
     def bake_packed_cache(self, cano, state: SMPLDeformerState,
                           cells: jax.Array, net_sigma_fn=None,

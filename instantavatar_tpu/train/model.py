@@ -73,6 +73,15 @@ class RenderSession:
     def __init__(self) -> None:
         self.samp_budget: dict = {}
         self.cell_budget: dict = {}
+        # single-slot frame-asset memos: the warp cache / sigma table and
+        # the auto test grid depend only on (params, betas, body_pose[,
+        # frame idx when SMPL params are optimized]) — global orientation
+        # and translation CANCEL in the world->SMPL transform (tfs_j =
+        # inv(rel_0) rel_j), so a turntable re-bakes identical tables
+        # every frame. The fused render reuses them via a lax.cond branch
+        # when the host-computed key matches the previous frame.
+        self.last_bake: tuple | None = None   # (key, (cache, sig_table))
+        self.last_grid: tuple | None = None   # (key, DensityGridState)
 
 
 class TrainState(NamedTuple):
@@ -613,7 +622,8 @@ class AvatarModel:
                             cell_budget: int | None = None,
                             prepass_shape: tuple[int, int, int]
                             | None = None,
-                            samp_budget: int | None = None):
+                            samp_budget: int | None = None,
+                            prev_bake=None, reuse=None):
         """ONE-dispatch full-frame render. Per-host-readback latency
         through the remote-TPU tunnel is ~33 ms while chained async
         dispatches cost ~2 ms (PERF.md), so the whole frame — deformer
@@ -663,6 +673,7 @@ class AvatarModel:
         want_term = (self.term_T is not None
                      and self.eval_sampling in ("flat", "windows"))
         n_occ = jnp.int32(0)
+        bake_out = None
         if use_cache:
             # -- 4. packed warp-cache bake (BEFORE the prepass: its
             # validity table drives window selection below) --------------
@@ -677,30 +688,50 @@ class AvatarModel:
             ijk = jnp.stack([csafe // (G * G), (csafe // G) % G, csafe % G],
                             axis=-1).astype(jnp.float32)
             centers = aabb[0] + (ijk + 0.5) / G * span
-            baked = self.deformer.bake_packed_cache(
-                state.deformer_cano, dstate, centers,
-                net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask,
-                return_sigma=want_term)
-            rows, sig_cell = baked if want_term else (baked, None)
-            cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
-                .at[cell_idx].set(rows, mode="drop")
+
+            def do_bake(_):
+                baked = self.deformer.bake_packed_cache(
+                    state.deformer_cano, dstate, centers,
+                    net_sigma_fn=lambda x: net(x)[1], cell_mask=cmask,
+                    return_sigma=want_term)
+                rows, sig_cell = baked if want_term else (baked, None)
+                cache = jnp.zeros((G ** 3, rows.shape[-1]), rows.dtype) \
+                    .at[cell_idx].set(rows, mode="drop")
+                if want_term:
+                    # sigma validity table: ONE f32 gather per prepass
+                    # sample yields BOTH the cache-validity bit (v >= 0;
+                    # empty cells hold -1) and sigma_hat for the
+                    # transmittance cut. relu matches compositing's
+                    # alpha = 1-exp(-relu(s)d). (An int32-quantized
+                    # encoding hit a libtpu regalloc RET_CHECK,
+                    # live_range_finder.cc:29 — f32 is the same gather
+                    # width and dodges the compiler bug.)
+                    R = self.deformer.ROW_FLOATS
+                    K = rows.shape[-1] // R
+                    any_valid = (rows.reshape(-1, K, R)[..., 12] > 0.5) \
+                        .any(-1)
+                    q = jnp.where(any_valid, jax.nn.relu(sig_cell), -1.0)
+                    sig_table = jnp.full((G ** 3,), -1.0, jnp.float32) \
+                        .at[cell_idx].set(q, mode="drop")
+                else:
+                    sig_table = jnp.full((G ** 3,), -1.0, jnp.float32)
+                return cache, sig_table
+
+            if prev_bake is not None:
+                # cross-frame bake reuse: the cache/sigma tables depend
+                # only on (params, betas, body_pose) — orientation and
+                # translation cancel in tfs — so the host passes the
+                # previous frame's tables + a matched-key flag, and a
+                # turntable pays the ~28 ms bake once per POSE, not per
+                # frame. lax.cond executes only one branch on TPU.
+                cache, sig_table = jax.lax.cond(
+                    reuse, lambda _: prev_bake, do_bake, None)
+            else:
+                cache, sig_table = do_bake(None)
+            bake_out = (cache, sig_table)
             probe_fn, pfield_fn, occ_fn, field_pts = \
                 self.deformer.make_packed_cache_fns(
                     cache, aabb, G, net, self.cache_n_cand)
-            if want_term:
-                # sigma validity table: ONE f32 gather per prepass sample
-                # yields BOTH the cache-validity bit (v >= 0; empty cells
-                # hold -1) and sigma_hat for the transmittance cut. relu
-                # matches compositing's alpha = 1-exp(-relu(s)d). (An
-                # int32-quantized encoding hit a libtpu regalloc
-                # RET_CHECK, live_range_finder.cc:29 — f32 is the same
-                # gather width and dodges the compiler bug.)
-                R = self.deformer.ROW_FLOATS
-                K = rows.shape[-1] // R
-                any_valid = (rows.reshape(-1, K, R)[..., 12] > 0.5).any(-1)
-                q = jnp.where(any_valid, jax.nn.relu(sig_cell), -1.0)
-                sig_table = jnp.full((G ** 3,), -1.0, jnp.float32) \
-                    .at[cell_idx].set(q, mode="drop")
 
         # -- 2. coarse prepass --------------------------------------------
         # Optionally run on a p x p-subsampled ray lattice (image-space
@@ -1043,8 +1074,11 @@ class AvatarModel:
         # return a FLAT f16 vector: XLA lays (n, 6) outputs out column-
         # major here, and the axon client then pays a ~100-180 ms relayout
         # per fetch (measured r2); a 1-D output is contiguous by
-        # construction and any relayout happens on-device at HBM speed
-        return jnp.concatenate([img, extra]).astype(jnp.float16).reshape(-1)
+        # construction and any relayout happens on-device at HBM speed.
+        # bake_out (cache + sigma table) rides along as DEVICE arrays —
+        # never fetched — so the next same-pose frame can reuse them.
+        buf = jnp.concatenate([img, extra]).astype(jnp.float16).reshape(-1)
+        return buf, bake_out
 
     @staticmethod
     def _unpack_frame(buf) -> tuple[dict, int, int]:
@@ -1105,8 +1139,46 @@ class AvatarModel:
         i+1 (render_frames)."""
         if session is None:
             session = RenderSession()  # per-call: priors only, no learning
+        # frame-asset key: the warp cache / sigma table / auto test grid
+        # depend only on (params, betas, body_pose[, idx when per-frame
+        # SMPL params are optimized]) — global orientation + translation
+        # cancel in the world->SMPL transform, so turntable frames share
+        # them (RenderSession.last_bake / last_grid)
+        import numpy as _np
+
+        def _pose_part(v):
+            # content for host arrays; OBJECT IDENTITY for device arrays —
+            # np.asarray on a remote-device array costs a ~33 ms tunnel
+            # readback per frame (PERF.md), which would erase the win.
+            # The session pins the keyed objects so ids can't recycle.
+            if isinstance(v, _np.ndarray):
+                return v.tobytes()
+            return id(v)
+
+        fkey = None
+        if hasattr(self.deformer, "bake_packed_cache"):
+            idx_k = None
+            if self.optimize_smpl and isinstance(state.params, dict) \
+                    and isinstance(state.params.get("smpl"), SMPLParams):
+                idx_k = int(batch["idx"])
+            fkey = (id(state.params), self.grid_size,
+                    _pose_part(batch["betas"]),
+                    _pose_part(batch["body_pose"]), idx_k)
+            fkey_refs = (state.params, batch["betas"], batch["body_pose"])
         if grid is None:
-            grid = self.build_test_grid(state, batch)
+            if fkey is not None and session.last_grid is not None \
+                    and session.last_grid[0] == fkey:
+                grid = session.last_grid[1]
+            else:
+                grid = self.build_test_grid(state, batch)
+                if fkey is not None:
+                    # refs pin the id()-keyed objects until the next
+                    # compare (an id can recycle once its object dies)
+                    session.last_grid = (fkey, grid, fkey_refs)
+        else:
+            fkey = (fkey, id(grid)) if fkey is not None else None
+            if fkey is not None:
+                fkey_refs = fkey_refs + (grid,)
         n = batch["rays_o"].shape[0]
         fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
                   for k, v in batch.items() if k not in ("rgb", "alpha")}
@@ -1146,19 +1218,44 @@ class AvatarModel:
         # transparently re-renders
         cell_budget = min(session.cell_budget.get((n, prepass_shape))
                           or self.cell_budget, self.cell_budget)
-        buf, samp_budget = self._call_fused_size_hopped(
+        prev_bake, reuse = self._bake_memo(session, fkey)
+        buf, bake_out, samp_budget = self._call_fused_size_hopped(
             state, fbatch, grid, budget, chunk_eff, cell_budget,
-            prepass_shape, samp_budget)
+            prepass_shape, samp_budget, prev_bake=prev_bake, reuse=reuse)
+        if bake_out is not None and fkey is not None:
+            session.last_bake = (fkey, bake_out, fkey_refs)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
                     chunk=chunk, budget=budget,
                     cell_budget=cell_budget,
                     prepass_shape=prepass_shape,
                     samp_budget=samp_budget, chunk_eff=chunk_eff,
-                    session=session)
+                    session=session, fkey=fkey,
+                    fkey_refs=fkey if fkey is None else fkey_refs)
+
+    def _bake_memo(self, session: RenderSession, fkey):
+        """(prev_bake, reuse) for the fused dispatch: the previous frame's
+        (cache, sigma table) device arrays plus a matched-key flag. Arrays
+        are ALWAYS passed once a compatible pair exists (zeros on the
+        first frame) so the jit traces ONE program; reuse=False simply
+        takes the bake branch of the cond."""
+        want_term = (self.term_T is not None
+                     and self.eval_sampling in ("flat", "windows"))
+        if fkey is None or not want_term or not self.use_warp_cache \
+                or not hasattr(self.deformer, "cache_K"):
+            return None, None
+        G3 = self.grid_size ** 3
+        W = self.deformer.cache_K * self.deformer.ROW_FLOATS
+        if session.last_bake is not None \
+                and session.last_bake[1][0].shape == (G3, W):
+            key, assets = session.last_bake[0], session.last_bake[1]
+            return assets, jnp.asarray(key == fkey)
+        return ((jnp.zeros((G3, W), jnp.float32),
+                 jnp.full((G3,), -1.0, jnp.float32)),
+                jnp.asarray(False))
 
     def _call_fused_size_hopped(self, state, fbatch, grid, budget,
                                 chunk_eff, cell_budget, prepass_shape,
-                                samp_budget):
+                                samp_budget, prev_bake=None, reuse=None):
         """Dispatch the fused render, hopping the flat-stream sample
         budget past sizes the backend TPU compiler cannot compile.
 
@@ -1178,9 +1275,11 @@ class AvatarModel:
                 samp_budget += chunk_eff
                 continue
             try:
-                return self._render_frame_fused(
+                buf, bake_out = self._render_frame_fused(
                     state, fbatch, grid, budget, chunk_eff, cell_budget,
-                    prepass_shape, samp_budget), samp_budget
+                    prepass_shape, samp_budget, prev_bake=prev_bake,
+                    reuse=reuse)
+                return buf, bake_out, samp_budget
             except Exception as e:  # noqa: BLE001 — filtered below
                 if samp_budget is None or not _is_backend_compiler_crash(e):
                     raise
@@ -1229,9 +1328,18 @@ class AvatarModel:
             cell_budget = rec["cell_budget"]
             if cell_over:
                 cell_budget = -(-n_occ // 4096) * 4096
-            buf, samp_budget = self._call_fused_size_hopped(
+            prev_bake, reuse = self._bake_memo(session, rec.get("fkey"))
+            if cell_over and reuse is not None:
+                # the first attempt's bake was truncated at its cell
+                # budget — its stored tables are incomplete; rebake
+                reuse = jnp.asarray(False)
+            buf, bake_out, samp_budget = self._call_fused_size_hopped(
                 rec["state"], rec["fbatch"], rec["grid"], budget,
-                chunk_eff, cell_budget, rec["prepass_shape"], samp_budget)
+                chunk_eff, cell_budget, rec["prepass_shape"], samp_budget,
+                prev_bake=prev_bake, reuse=reuse)
+            if bake_out is not None and rec.get("fkey") is not None:
+                session.last_bake = (rec["fkey"], bake_out,
+                                     rec.get("fkey_refs"))
             out, _, _ = self._unpack_frame(buf)
         return out
 

@@ -470,10 +470,10 @@ def test_fused_size_hop_dodges_backend_compiler_crash(seq_dir, toy_model):
     orig = type(avatar)._render_frame_fused
 
     def spy(st, fb, gr, budget, chunk, cell_budget=None,
-            prepass_shape=None, samp_budget=None):
+            prepass_shape=None, samp_budget=None, **kw):
         sizes.append(samp_budget)
         return orig(avatar, st, fb, gr, budget, chunk, cell_budget,
-                    prepass_shape, samp_budget)
+                    prepass_shape, samp_budget, **kw)
     avatar._render_frame_fused = spy
     avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48))
     bad = sizes[0]
@@ -483,14 +483,14 @@ def test_fused_size_hop_dodges_backend_compiler_crash(seq_dir, toy_model):
     calls = []
 
     def crashing(st, fb, gr, budget, chunk, cell_budget=None,
-                 prepass_shape=None, samp_budget=None):
+                 prepass_shape=None, samp_budget=None, **kw):
         calls.append(samp_budget)
         if samp_budget == bad:
             raise RuntimeError(
                 "INTERNAL: AOT PJRT error: RET_CHECK failure "
                 "(live_range_finder.cc:29) [synthetic test crash]")
         return orig(avatar, st, fb, gr, budget, chunk, cell_budget,
-                    prepass_shape, samp_budget)
+                    prepass_shape, samp_budget, **kw)
     avatar._render_frame_fused = crashing
     try:
         img_hop = avatar.render_frame(state, b, chunk=1024,
@@ -505,6 +505,52 @@ def test_fused_size_hop_dodges_backend_compiler_crash(seq_dir, toy_model):
     finally:
         del avatar._render_frame_fused
         model_mod._BAD_FUSED_SIZES.clear()
+
+
+def test_bake_reuse_across_turntable_frames(seq_dir, toy_model):
+    """Cross-frame bake reuse: global orientation and translation cancel
+    in the world->SMPL transform, so turntable frames (same body pose)
+    must reuse the previous frame's warp cache/sigma table — and produce
+    EXACTLY the images a fresh per-frame render produces. A pose change
+    must invalidate the memo (different key -> rebake branch)."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.train.model import RenderSession
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SNARFDeformer(toy_model, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=1,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b0 = val[0]  # numpy batch: content-keyed
+    # 3-frame turntable (same pose object, spun orientation) + 1 frame
+    # with a DIFFERENT body pose
+    frames = [dict(b0),
+              {**b0, "global_orient": b0["global_orient"]
+               + np.array([0, 0.6, 0], np.float32)},
+              {**b0, "global_orient": b0["global_orient"]
+               + np.array([0, 1.2, 0], np.float32)},
+              {**b0, "body_pose": b0["body_pose"]
+               + 0.1 * np.ones(69, np.float32)}]
+    sess = RenderSession()
+    seq_imgs = [np.asarray(o["rgb"]) for o in avatar.render_frames(
+        state, [dict(f) for f in frames], chunk=1024, depth=2,
+        image_shape=(48, 48), session=sess)]
+    assert sess.last_bake is not None  # memo engaged
+    # fresh single-frame renders (independent sessions: no reuse)
+    for f, img_seq in zip(frames, seq_imgs):
+        img_ref = avatar.render_frame(state, dict(f), chunk=1024,
+                                      image_shape=(48, 48))["rgb"]
+        np.testing.assert_allclose(img_seq, np.asarray(img_ref),
+                                   atol=1e-5)
 
 
 def test_render_frames_pipelined_matches_single(seq_dir, toy_model):
