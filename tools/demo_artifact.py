@@ -129,17 +129,15 @@ def main() -> None:
     # warmup (compile + budget learning): 2 frames
     warm = list(turntable_batches(betas, train.smpl_params, val, 2))
     for out in avatar.render_frames(
-            state, [{k: jnp.asarray(v) for k, v in b.items()}
-                    for b in warm],
+            state, warm,  # numpy batches: content-keyed bake reuse
             chunk=32768, depth=2, image_shape=val.image_shape,
             session=sess):
         pass
     t = time.perf_counter()
     for out in avatar.render_frames(
             state,
-            [{k: jnp.asarray(v) for k, v in b.items()} for b in
-             turntable_batches(betas, train.smpl_params, val,
-                               args.turn_frames)],
+            turntable_batches(betas, train.smpl_params, val,
+                              args.turn_frames),
             chunk=32768, depth=2, image_shape=val.image_shape,
             session=sess):
         frames.append(np.asarray(out["rgb"]))

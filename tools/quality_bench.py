@@ -81,7 +81,7 @@ def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
 def render_val(avatar, state, val_ds, size) -> list[np.ndarray]:
     imgs = []
     for out in avatar.render_frames(
-            state, [{k: jnp.asarray(v) for k, v in val_ds[i].items()
+            state, [{k: v for k, v in val_ds[i].items()
                      if k not in ("rgb", "alpha")}
                     for i in range(len(val_ds))],
             chunk=32768, depth=2, image_shape=(size, size)):
@@ -165,7 +165,7 @@ def main() -> None:
         # warmup + timing so the learned budgets carry over)
         from instantavatar_tpu.train.model import RenderSession
         sess = RenderSession()
-        b = {k: jnp.asarray(v) for k, v in val[0].items()
+        b = {k: v for k, v in val[0].items()
              if k not in ("rgb", "alpha")}
         list(av.render_frames(state, [b] * 2, chunk=32768,
                               image_shape=(args.size, args.size),
