@@ -1268,9 +1268,10 @@ class AvatarModel:
         process-wide (_BAD_FUSED_SIZES) so each costs at most one failed
         compile per process."""
         n = fbatch["rays_o"].shape[0]
+        samp0 = samp_budget
         last = None
         for _ in range(16):
-            key = (n, prepass_shape, samp_budget)
+            key = (n, prepass_shape, samp_budget, prev_bake is not None)
             if samp_budget is not None and key in _BAD_FUSED_SIZES:
                 samp_budget += chunk_eff
                 continue
@@ -1286,6 +1287,13 @@ class AvatarModel:
                 _BAD_FUSED_SIZES.add(key)
                 samp_budget += chunk_eff
                 last = e
+        if prev_bake is not None:
+            # the bake-reuse cond variant may be uncompilable where the
+            # plain program is not — degrade to bake-always rather than
+            # failing the frame
+            return self._call_fused_size_hopped(
+                state, fbatch, grid, budget, chunk_eff, cell_budget,
+                prepass_shape, samp0)
         raise RuntimeError(
             f"no compilable flat-stream size found near {samp_budget} "
             f"(16 hops tried)") from last
