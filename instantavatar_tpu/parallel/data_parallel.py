@@ -146,6 +146,94 @@ def make_dp_render(avatar: AvatarModel, mesh: Mesh):
     return jax.jit(render)
 
 
+def dp_render_frame(avatar: AvatarModel, mesh: Mesh, state: TrainState,
+                    batch: dict[str, Any], grid,
+                    image_shape: tuple[int, int],
+                    chunk: int = 32768) -> dict[str, Any]:
+    """Ray-sharded FUSED frame render: each chip runs the full flat-stream
+    frame program (prepass-window selection, transmittance termination,
+    packed-cache field eval, cumsum-difference composite) on a horizontal
+    band of the image — the path the 30 FPS @540px target is costed on
+    (BASELINE.md: 8.75M rays/s / 8 chips).
+
+    Bands are fully independent (the march has no cross-ray coupling), so
+    this is a shard_map with NO collectives: the per-chip bake is
+    replicated compute (same tables on every chip — wall-clock equal to
+    one chip's bake), and each band's pinhole ray basis is pre-shifted by
+    its first row (d = (b0 + y0*by) + x*bx + y_local*by) so the computed
+    per-pixel directions stay globally correct.
+
+    The image height must split into per-chip bands whose rows are
+    divisible by the prepass subsample p (e.g. 540 rows on 4 chips at
+    p=3; pad the frame otherwise). Static budgets come from the model
+    priors; overflow raises (callers re-render with prune_rays=False
+    semantics by passing a bigger ray budget via ``chunk``/model config).
+    """
+    import numpy as np
+    n_ray = mesh.shape["ray"]
+    H, W = image_shape
+    n = H * W
+    assert H % n_ray == 0, (H, n_ray)
+    H_loc = H // n_ray
+    p = next((q for q in (3, 2) if H_loc % q == 0 and W % q == 0), 1)
+    prepass_shape = (H_loc, W, p)
+
+    fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
+              for k, v in batch.items() if k not in ("rgb", "alpha")}
+    basis = fbatch.pop("ray_basis", None)
+    if basis is not None:
+        b = np.asarray(basis)
+        # per-band basis: fold each band's first GLOBAL row into b0
+        fbatch["ray_basis"] = jnp.asarray(np.stack(
+            [np.stack([b[0], b[1] + (c * H_loc) * b[3], b[2], b[3]])
+             for c in range(n_ray)]))                    # (n_ray, 4, 3)
+
+    n_loc = n // n_ray
+    budget, chunk_eff = avatar._round_budget(n_loc, chunk)
+    nb = n_loc // (p * p)
+    # overflow-free by construction (selection keeps <= n_windows samples
+    # per block; the bake budget covers the actual occupied-cell count,
+    # read once per grid on the host): dp budget tuning belongs with
+    # hardware measurement
+    samp_budget, chunk_eff = avatar._round_budget(
+        nb * avatar.n_windows, chunk)
+    G3 = avatar.grid_size ** 3
+    n_occ = int(np.asarray(grid.occupancy).sum())
+    cell_budget = min(max(avatar.cell_budget,
+                          -(-n_occ // 4096) * 4096), G3)
+
+    per_frame = {"betas", "body_pose", "global_orient", "transl", "idx"}
+    specs = {k: (P() if k in per_frame
+                 else P("ray", *([None] * (np.ndim(v) - 1))))
+             for k, v in fbatch.items()}
+    if "ray_basis" in fbatch:
+        # one (4,3) basis PER BAND: the leading axis is the shard axis and
+        # must collapse inside the local program
+        specs["ray_basis"] = P("ray")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), specs, P()),
+        out_specs=P("ray"),
+        check_rep=False)
+    def _sharded(state, local_batch, grid):
+        if "ray_basis" in local_batch:
+            local_batch = {**local_batch,
+                           "ray_basis": local_batch["ray_basis"][0]}
+        buf, _ = avatar._render_frame_fused(
+            state, local_batch, grid, budget, chunk_eff,
+            cell_budget, prepass_shape, samp_budget)
+        return buf
+
+    buf = jax.jit(_sharded)(state, fbatch, grid)
+    rows = np.asarray(buf, np.float32).reshape(n_ray, -1, 6)
+    out = {"rgb": rows[:, :-1, :3].reshape(n, 3),
+           "depth": rows[:, :-1, 3].reshape(n),
+           "alpha": rows[:, :-1, 4].reshape(n),
+           "counter": rows[:, :-1, 5].reshape(n).astype(np.int32)}
+    return out
+
+
 # -- subject parallelism ---------------------------------------------------
 
 

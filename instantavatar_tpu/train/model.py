@@ -1303,42 +1303,50 @@ class AvatarModel:
         re-renders when the hit count overflowed the static ray budget
         (body covering more pixels than budgeted) or the occupied-cell
         count overflowed the bake's cell budget — rare, one extra compile
-        the first time each overflow size appears."""
+        the first time each overflow size appears.
+
+        The overflow check LOOPS on the re-rendered frame's counters: a
+        cell-budget overflow means the first bake was truncated, so the
+        re-render's fuller cache can select MORE samples and newly
+        overflow the sample stream — shipping that frame unchecked
+        rendered visibly truncated images (caught by the dp-vs-single
+        parity test). Each pass resizes from the latest true counts, so
+        the loop converges in <= 2 extra renders."""
         out, n_hit, n_occ = self._unpack_frame(rec["buf"])
         n = rec["fbatch"]["rays_o"].shape[0]
         session, skey = rec["session"], (n, rec["prepass_shape"])
-        # learn the bake capacity for the NEXT frame (see
-        # _render_frame_async); only shrinks below the configured maximum
-        session.cell_budget[skey] = min(
-            self.cell_budget,
-            max(4096, -(-int(n_occ * 1.15) // 4096) * 4096))
-        if rec.get("samp_budget") is not None:
-            # the kept-sample count (n_hit slot) sizes the NEXT frame's
-            # flat stream the same way (soft fields keep more samples
-            # than the samples_per_ray prior; sharp fields keep fewer)
-            session.samp_budget[skey] = max(8192, int(n_hit * 1.2))
+        budget = rec["budget"]
+        chunk_eff = rec.get("chunk_eff", min(rec["chunk"], budget))
+        cell_budget = rec["cell_budget"]
         samp_budget = rec.get("samp_budget")
-        if samp_budget is not None:
-            # flat mode: the n_hit slot carries the kept-SAMPLE count
-            ray_over = n_hit > samp_budget
-        else:
-            ray_over = rec["budget"] < n and n_hit > rec["budget"]
-        cell_over = n_occ > rec["cell_budget"]
-        if ray_over or cell_over:
-            budget, chunk_eff = rec["budget"], rec.get(
-                "chunk_eff", min(rec["chunk"], rec["budget"]))
+        for _ in range(4):
+            # learn capacities for the NEXT frame from the latest counts
+            # (only shrinks below the configured maximum); soft fields
+            # keep more samples than the samples_per_ray prior, sharp
+            # fields fewer
+            session.cell_budget[skey] = min(
+                self.cell_budget,
+                max(4096, -(-int(n_occ * 1.15) // 4096) * 4096))
+            if samp_budget is not None:
+                session.samp_budget[skey] = max(8192, int(n_hit * 1.2))
+                # flat mode: the n_hit slot carries the kept-SAMPLE count
+                ray_over = n_hit > samp_budget
+            else:
+                ray_over = budget < n and n_hit > budget
+            cell_over = n_occ > cell_budget
+            if not (ray_over or cell_over):
+                return out
             if ray_over:
                 if samp_budget is not None:
                     samp_budget, chunk_eff = self._round_budget(
                         n_hit, rec["chunk"])
                 else:
                     budget, chunk_eff = self._round_budget(n, rec["chunk"])
-            cell_budget = rec["cell_budget"]
             if cell_over:
                 cell_budget = -(-n_occ // 4096) * 4096
             prev_bake, reuse = self._bake_memo(session, rec.get("fkey"))
             if cell_over and reuse is not None:
-                # the first attempt's bake was truncated at its cell
+                # the previous attempt's bake was truncated at its cell
                 # budget — its stored tables are incomplete; rebake
                 reuse = jnp.asarray(False)
             buf, bake_out, samp_budget = self._call_fused_size_hopped(
@@ -1348,7 +1356,7 @@ class AvatarModel:
             if bake_out is not None and rec.get("fkey") is not None:
                 session.last_bake = (rec["fkey"], bake_out,
                                      rec.get("fkey_refs"))
-            out, _, _ = self._unpack_frame(buf)
+            out, n_hit, n_occ = self._unpack_frame(buf)
         return out
 
     def render_frames(self, state: TrainState, batches,

@@ -553,6 +553,48 @@ def test_bake_reuse_across_turntable_frames(seq_dir, toy_model):
                                    atol=1e-5)
 
 
+def test_flat_render_budget_invariance_under_overflow(seq_dir, toy_model):
+    """The flat render must be budget-INVARIANT: undersized initial
+    sample/cell budgets only trigger transparent re-renders, never change
+    the image. Regression for the compound-overflow bug where a
+    cell-budget re-render surfaced a NEW sample-stream overflow that was
+    shipped unchecked (truncated streams rendered visibly wrong bands)."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+
+    def make(spr):
+        return AvatarModel(
+            toy_model, field,
+            SNARFDeformer(toy_model, resolution=16, cano_pose="da_pose",
+                          knn_chunk=4096),
+            n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+            eval_sampling="flat", n_windows=12, eval_n_steps=16,
+            samples_per_ray=spr, optimizer=optax.adam(5e-3))
+
+    train = AvatarDataset(seq_dir, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    av_ref = make(12.0)  # n_windows-sized: can never overflow
+    state = av_ref.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    # opaque field => many kept samples => small budgets overflow
+    fp = state.params["field"]
+    sb = list(fp.sigma_b)
+    sb[-1] = sb[-1].at[0].set(100.0)
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(sigma_b=tuple(sb))})
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+    img_ref = av_ref.render_frame(state, b, chunk=1024,
+                                  image_shape=(48, 48))["rgb"]
+    for spr in (2.0, 4.0):
+        img = make(spr).render_frame(state, b, chunk=1024,
+                                     image_shape=(48, 48))["rgb"]
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                                   atol=1e-5)
+
+
 def test_render_frames_pipelined_matches_single(seq_dir, toy_model):
     """The pipelined multi-frame renderer must produce the same images as
     frame-by-frame render_frame."""

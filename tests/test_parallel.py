@@ -183,3 +183,51 @@ def test_combined_subject_ray_mesh(toy):
         np.testing.assert_array_equal(
             np.asarray(new_states.grid.occupancy)[i],
             singles[i].grid.occupancy)
+
+
+def test_dp_fused_render_matches_single_chip(toy, tmp_path):
+    """dp_render_frame: the ray-sharded FUSED flat render (8 horizontal
+    bands, per-band shifted ray basis, per-chip replicated bake) must
+    reproduce the single-device fused render_frame exactly."""
+    from instantavatar_tpu.data import AvatarDataset, PatchSampler, \
+        make_synthetic_sequence
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.parallel.data_parallel import dp_render_frame
+
+    seq = make_synthetic_sequence(tmp_path / "seq", n_frames=1, H=48, W=48)
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy, field,
+        SNARFDeformer(toy, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    # opaque field so the transmittance-termination path is exercised
+    fp = state.params["field"]
+    sb = list(fp.sigma_b)
+    sb[-1] = sb[-1].at[0].set(100.0)
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(sigma_b=tuple(sb))})
+    val = AvatarDataset(seq, "val", start=0, end=0)
+    b = {k: v for k, v in val[0].items() if k not in ("rgb", "alpha")}
+
+    grid = avatar.build_test_grid(state, b)
+    img_single = avatar.render_frame(state, dict(b), chunk=1024,
+                                     grid=grid, prune_rays=False,
+                                     image_shape=(48, 48))
+
+    mesh = make_mesh(n_ray=8)
+    out = dp_render_frame(avatar, mesh, state, b, grid, (48, 48),
+                          chunk=1024)
+    assert np.isfinite(out["rgb"]).all()
+    np.testing.assert_allclose(out["rgb"],
+                               np.asarray(img_single["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(out["alpha"],
+                               np.asarray(img_single["alpha"]), atol=2e-3)
