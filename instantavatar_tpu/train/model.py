@@ -39,14 +39,53 @@ __all__ = ["AvatarModel", "RenderSession", "TrainState", "WORLD_AABB"]
 # the reference's hard-coded SMPL-space scene box (raymarcher_acc.py:61-62)
 WORLD_AABB = ((-1.25, -1.55, -1.25), (1.25, 0.95, 1.25))
 
-# Process-wide registry of (n_rays, prepass_shape, samp_budget) triples
-# whose fused-render program crashes the libtpu backend compiler (regalloc
+# Registry of (n_rays, prepass_shape, samp_budget, has_reuse) tuples whose
+# fused-render program crashes the libtpu backend compiler (regalloc
 # RET_CHECK, live_range_finder.cc:29 — reproduced at e.g. n=291600,
 # samp_budget=393216 on v5e, independent of graph content; see
 # _call_fused_size_hopped). Budget sizes only pad, so hopping to the next
 # chunk multiple is semantically free; remembering bad sizes avoids paying
-# a ~90 s failed compile more than once per size per process.
+# a ~90 s failed compile per size — persisted across processes (each
+# rediscovery costs a full failed compile) in the user cache, loaded
+# lazily, best-effort on IO errors.
 _BAD_FUSED_SIZES: set[tuple] = set()
+_BAD_SIZES_LOADED = False
+
+
+def _bad_sizes_path():
+    import os
+    from pathlib import Path
+    root = os.environ.get("XDG_CACHE_HOME",
+                          os.path.expanduser("~/.cache"))
+    return Path(root) / "instantavatar_tpu" / "bad_fused_sizes.json"
+
+
+def _load_bad_sizes() -> None:
+    global _BAD_SIZES_LOADED
+    if _BAD_SIZES_LOADED:
+        return
+    _BAD_SIZES_LOADED = True
+    import json
+    try:
+        for row in json.loads(_bad_sizes_path().read_text()):
+            n, pre, samp, has_reuse = row
+            _BAD_FUSED_SIZES.add(
+                (n, tuple(pre) if pre is not None else None, samp,
+                 bool(has_reuse)))
+    except Exception:  # noqa: BLE001 — cache miss/corruption is fine
+        pass
+
+
+def _save_bad_sizes() -> None:
+    import json
+    try:
+        path = _bad_sizes_path()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(
+            [[n, list(pre) if pre is not None else None, samp, has_reuse]
+             for n, pre, samp, has_reuse in _BAD_FUSED_SIZES]))
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _is_backend_compiler_crash(e: Exception) -> bool:
@@ -1268,6 +1307,7 @@ class AvatarModel:
         process-wide (_BAD_FUSED_SIZES) so each costs at most one failed
         compile per process."""
         n = fbatch["rays_o"].shape[0]
+        _load_bad_sizes()
         samp0 = samp_budget
         last = None
         for _ in range(16):
@@ -1285,6 +1325,7 @@ class AvatarModel:
                 if samp_budget is None or not _is_backend_compiler_crash(e):
                     raise
                 _BAD_FUSED_SIZES.add(key)
+                _save_bad_sizes()
                 samp_budget += chunk_eff
                 last = e
         if prev_bake is not None:

@@ -7,6 +7,11 @@ Note: this environment's axon sitecustomize programmatically sets
 JAX_PLATFORMS env var — so we must override via jax.config *after* import
 (backends are not yet initialized at conftest time, so this wins)."""
 import os
+import tempfile
+
+# isolate the persisted bad-fused-sizes cache (train/model.py) from the
+# user's real cache: tests synthesize compiler crashes
+os.environ["XDG_CACHE_HOME"] = tempfile.mkdtemp(prefix="ia_tpu_cache_")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
