@@ -6,6 +6,12 @@ OUT=${1:-/tmp/measure_r3}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+echo "== 0. xplane profile of the fused render + train step (optimize from data)"
+timeout 2400 env PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+  python tools/profile_xplane.py bench >"$OUT/xplane_bench.txt" 2>"$OUT/xplane_bench.err"
+timeout 2400 env PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+  python tools/profile_xplane.py train >"$OUT/xplane_train.txt" 2>"$OUT/xplane_train.err"
+
 echo "== 1. render bench (BENCH_r03 candidate)"
 timeout 2400 python bench.py 2>"$OUT/bench.err" | tee "$OUT/bench.json"
 

@@ -79,7 +79,16 @@ def main():
         n_steps=128, k_cap=8, grid_size=64,
         eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0)
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+    # opaque-body sigma bias: match bench.py's trained-avatar workload so
+    # the profile explains the bench number (transmittance termination
+    # only engages when the field is opaque)
+    fp = state.params["field"]
+    sb = list(fp.sigma_b)
+    sb[-1] = sb[-1].at[0].set(100.0)
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(sigma_b=tuple(sb))})
 
+    from instantavatar_tpu.data.rays import make_ray_basis
     K = np.array([[2000.0, 0, W / 2], [0, 2000.0, H / 2], [0, 0, 1]])
     rays_o, rays_d = make_ray_grid(K, np.eye(4), H, W)
     transl = np.array([0.0, 0.15, 5.0], np.float32)
@@ -92,6 +101,7 @@ def main():
         "betas": jnp.zeros((10,)), "body_pose": jnp.zeros((69,)),
         "global_orient": jnp.zeros((3,)), "transl": jnp.asarray(transl),
         "idx": jnp.int32(0),
+        "ray_basis": jnp.asarray(make_ray_basis(K, np.eye(4))),
     }
 
     @jax.jit
