@@ -1361,15 +1361,20 @@ class AvatarModel:
         cell_budget = rec["cell_budget"]
         samp_budget = rec.get("samp_budget")
         for _ in range(4):
-            # learn capacities for the NEXT frame from the latest counts
-            # (only shrinks below the configured maximum); soft fields
-            # keep more samples than the samples_per_ray prior, sharp
-            # fields fewer
-            session.cell_budget[skey] = min(
-                self.cell_budget,
-                max(4096, -(-int(n_occ * 1.15) // 4096) * 4096))
+            # learn capacities for the NEXT frame from the latest counts.
+            # HIGH-WATER after the first learn: a frame with fewer hits
+            # (turntable side view) must NOT shrink the budget — budgets
+            # are pure padding, so a smaller static size renders the same
+            # pixels but costs a fresh ~80 s fused-program compile
+            # (measured r3). Only the first frame shrinks from the prior.
+            def _hw(table, want):
+                cur = table.get(skey)
+                table[skey] = want if cur is None else max(cur, want)
+            _hw(session.cell_budget,
+                min(self.cell_budget,
+                    max(4096, -(-int(n_occ * 1.15) // 4096) * 4096)))
             if samp_budget is not None:
-                session.samp_budget[skey] = max(8192, int(n_hit * 1.2))
+                _hw(session.samp_budget, max(8192, int(n_hit * 1.2)))
                 # flat mode: the n_hit slot carries the kept-SAMPLE count
                 ray_over = n_hit > samp_budget
             else:
