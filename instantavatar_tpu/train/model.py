@@ -89,9 +89,14 @@ def _save_bad_sizes() -> None:
 
 
 def _is_backend_compiler_crash(e: Exception) -> bool:
-    msg = str(e)
-    return ("RET_CHECK" in msg or "INTERNAL" in msg
-            or "tpu_compile_helper" in msg)
+    """True only for the known libtpu backend-compiler crash signature
+    (regalloc RET_CHECK, live_range_finder.cc:29 — see
+    _call_fused_size_hopped). RET_CHECK failures are internal XLA
+    compile-time invariant violations; they never appear in ordinary
+    runtime errors. Deliberately narrow: an unrelated INTERNAL runtime
+    error must surface immediately instead of silently burning up to 16
+    size hops at ~90 s of failed compile each."""
+    return "RET_CHECK" in str(e)
 
 
 class RenderSession:
@@ -1403,6 +1408,23 @@ class AvatarModel:
                 session.last_bake = (rec["fkey"], bake_out,
                                      rec.get("fkey_refs"))
             out, n_hit, n_occ = self._unpack_frame(buf)
+        # Loop exhausted: re-check the LAST render's counters so a
+        # pathologically oscillating budget can never ship a truncated
+        # frame silently — warn loudly instead (the pixels past the
+        # budget rendered as background).
+        if samp_budget is not None:
+            ray_over = n_hit > samp_budget
+        else:
+            ray_over = budget < n and n_hit > budget
+        if ray_over or n_occ > cell_budget:
+            import warnings
+            warnings.warn(
+                f"frame still overflowed after 4 re-render passes "
+                f"(hits {int(n_hit)} vs budget "
+                f"{samp_budget if samp_budget is not None else budget}, "
+                f"occupied cells {int(n_occ)} vs {cell_budget}); the "
+                f"returned image is truncated (overflowed rays/samples "
+                f"rendered as background)", RuntimeWarning, stacklevel=3)
         return out
 
     def render_frames(self, state: TrainState, batches,

@@ -612,3 +612,104 @@ def test_render_frames_pipelined_matches_single(seq_dir, toy_model):
     assert len(piped) == 2
     for s, p in zip(singles, piped):
         np.testing.assert_allclose(s["rgb"], p["rgb"], atol=1e-5)
+
+
+def test_crash_classifier_is_narrow():
+    """Only the known libtpu regalloc RET_CHECK signature may trigger the
+    size hop; any other INTERNAL error must surface immediately instead
+    of burning 16 failed ~90 s compiles (VERDICT r3 weak #4)."""
+    from instantavatar_tpu.train.model import _is_backend_compiler_crash
+    assert _is_backend_compiler_crash(RuntimeError(
+        "INTERNAL: AOT PJRT error: RET_CHECK failure "
+        "(platforms/xla/service/jellyfish/live_range_finder.cc:29)"))
+    # unrelated INTERNAL runtime errors: not a compiler crash
+    assert not _is_backend_compiler_crash(RuntimeError(
+        "INTERNAL: Failed to execute XLA Runtime executable"))
+    assert not _is_backend_compiler_crash(RuntimeError(
+        "INTERNAL: tpu_compile_helper: out of memory allocating buffer"))
+    assert not _is_backend_compiler_crash(RuntimeError("RESOURCE_EXHAUSTED"))
+
+
+def test_unrelated_internal_error_surfaces_immediately(seq_dir, toy_model):
+    """An INTERNAL error without the RET_CHECK signature must propagate
+    from the fused render on the FIRST attempt — no size hopping."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SNARFDeformer(toy_model, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+
+    calls = []
+
+    def always_internal(*a, **kw):
+        calls.append(1)
+        raise RuntimeError("INTERNAL: Failed to execute XLA Runtime "
+                           "executable [synthetic test error]")
+    avatar._render_frame_fused = always_internal
+    try:
+        with pytest.raises(RuntimeError, match="XLA Runtime executable"):
+            avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48))
+    finally:
+        del avatar._render_frame_fused
+    assert len(calls) == 1  # no hops were attempted
+
+
+def test_finish_frame_warns_when_overflow_loop_exhausted(seq_dir, toy_model):
+    """A pathologically oscillating budget must never ship a truncated
+    frame silently: when 4 re-render passes still overflow, _finish_frame
+    warns loudly (VERDICT r3 weak #3)."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SNARFDeformer(toy_model, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+
+    rec = avatar._render_frame_async(state, b, chunk=1024,
+                                     image_shape=(48, 48))
+    out, _, n_occ = type(avatar)._unpack_frame(rec["buf"])
+    buf = rec["buf"]
+
+    # force a persistent sample-stream overflow: every unpack reports a
+    # hit count ABOVE the latest budget (an oscillating/growing workload
+    # the 4-pass loop can never satisfy)
+    rerenders = []
+    last = {"b": rec.get("samp_budget") or 8192}
+
+    def fake_hopped(*a, **kw):
+        rerenders.append(a[7])  # samp_budget positional slot
+        last["b"] = a[7]
+        return buf, None, a[7]
+    avatar._unpack_frame = lambda b_: (out, last["b"] * 2, n_occ)
+    avatar._call_fused_size_hopped = fake_hopped
+    try:
+        with pytest.warns(RuntimeWarning, match="still overflowed"):
+            got = avatar._finish_frame(rec)
+    finally:
+        del avatar._unpack_frame
+        del avatar._call_fused_size_hopped
+    assert len(rerenders) == 4  # the loop did try its 4 passes
+    np.testing.assert_allclose(got["rgb"], out["rgb"], atol=0)
