@@ -49,6 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train.model import AvatarModel, TrainState
 
 __all__ = ["make_mesh", "make_dp_train_step", "make_dp_render",
+           "DPFrameRenderer", "dp_render_frame",
            "stack_subjects", "make_multi_subject_step", "shard_batch"]
 
 
@@ -146,15 +147,12 @@ def make_dp_render(avatar: AvatarModel, mesh: Mesh):
     return jax.jit(render)
 
 
-def dp_render_frame(avatar: AvatarModel, mesh: Mesh, state: TrainState,
-                    batch: dict[str, Any], grid,
-                    image_shape: tuple[int, int],
-                    chunk: int = 32768) -> dict[str, Any]:
-    """Ray-sharded FUSED frame render: each chip runs the full flat-stream
-    frame program (prepass-window selection, transmittance termination,
-    packed-cache field eval, cumsum-difference composite) on a horizontal
-    band of the image — the path the 30 FPS @540px target is costed on
-    (BASELINE.md: 8.75M rays/s / 8 chips).
+class DPFrameRenderer:
+    """Production ray-sharded FUSED frame loop: each chip runs the full
+    flat-stream frame program (prepass-window selection, transmittance
+    termination, packed-cache field eval, cumsum-difference composite) on
+    a horizontal band of the image — the path the 30 FPS @540px target is
+    costed on (BASELINE.md: 8.75M rays/s / 8 chips).
 
     Bands are fully independent (the march has no cross-ray coupling), so
     this is a shard_map with NO collectives: the per-chip bake is
@@ -163,75 +161,320 @@ def dp_render_frame(avatar: AvatarModel, mesh: Mesh, state: TrainState,
     its first row (d = (b0 + y0*by) + x*bx + y_local*by) so the computed
     per-pixel directions stay globally correct.
 
+    Production semantics mirroring the single-device ``render_frame``
+    (train/model.py):
+
+      * **one compiled program per static shape** — the shard_map closure
+        is built and jitted ONCE per (n, prepass_shape, budgets,
+        has_reuse) and cached on the renderer, so steady-state frames pay
+        zero retrace (the r3 prototype re-jitted a fresh closure every
+        call);
+      * **RenderSession threading** — learned sample/cell budget hints
+        (keyed by the per-band shape) and the cross-frame bake memo
+        (turntable frames rebake once per pose, via the same lax.cond
+        reuse branch inside every chip's local program);
+      * **transparent overflow re-render** — per-band hit/cell counters
+        are checked on fetch (max over bands sizes the shared static
+        budget); overflow re-renders with grown budgets instead of
+        raising, warning loudly if 4 passes cannot satisfy it;
+      * **pipelined ``render_frames``** — keeps ``depth`` frames in
+        flight so the host fetch of frame i overlaps frame i+1's
+        on-device compute.
+
     The image height must split into per-chip bands whose rows are
     divisible by the prepass subsample p (e.g. 540 rows on 4 chips at
-    p=3; pad the frame otherwise). Static budgets come from the model
-    priors; overflow raises (callers re-render with prune_rays=False
-    semantics by passing a bigger ray budget via ``chunk``/model config).
+    p=3; pad the frame otherwise).
     """
-    import numpy as np
-    n_ray = mesh.shape["ray"]
-    H, W = image_shape
-    n = H * W
-    assert H % n_ray == 0, (H, n_ray)
-    H_loc = H // n_ray
-    p = next((q for q in (3, 2) if H_loc % q == 0 and W % q == 0), 1)
-    prepass_shape = (H_loc, W, p)
 
-    fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
-              for k, v in batch.items() if k not in ("rgb", "alpha")}
-    basis = fbatch.pop("ray_basis", None)
-    if basis is not None:
-        b = np.asarray(basis)
-        # per-band basis: fold each band's first GLOBAL row into b0
-        fbatch["ray_basis"] = jnp.asarray(np.stack(
-            [np.stack([b[0], b[1] + (c * H_loc) * b[3], b[2], b[3]])
-             for c in range(n_ray)]))                    # (n_ray, 4, 3)
+    PER_FRAME = frozenset(
+        {"betas", "body_pose", "global_orient", "transl", "idx"})
 
-    n_loc = n // n_ray
-    budget, chunk_eff = avatar._round_budget(n_loc, chunk)
-    nb = n_loc // (p * p)
-    # overflow-free by construction (selection keeps <= n_windows samples
-    # per block; the bake budget covers the actual occupied-cell count,
-    # read once per grid on the host): dp budget tuning belongs with
-    # hardware measurement
-    samp_budget, chunk_eff = avatar._round_budget(
-        nb * avatar.n_windows, chunk)
-    G3 = avatar.grid_size ** 3
-    n_occ = int(np.asarray(grid.occupancy).sum())
-    cell_budget = min(max(avatar.cell_budget,
-                          -(-n_occ // 4096) * 4096), G3)
+    def __init__(self, avatar: AvatarModel, mesh: Mesh,
+                 chunk: int = 32768):
+        import numpy as np
+        self.avatar = avatar
+        self.mesh = mesh
+        self.chunk = chunk
+        self.n_ray = mesh.shape["ray"]
+        self._np = np
+        self._compiled: dict[tuple, Any] = {}
+        # sizes whose sharded program crashed the backend compiler: kept
+        # per-renderer (the sharded program differs from the single-chip
+        # one, so the persisted single-chip registry does not apply)
+        self._bad_sizes: set[tuple] = set()
 
-    per_frame = {"betas", "body_pose", "global_orient", "transl", "idx"}
-    specs = {k: (P() if k in per_frame
-                 else P("ray", *([None] * (np.ndim(v) - 1))))
-             for k, v in fbatch.items()}
-    if "ray_basis" in fbatch:
-        # one (4,3) basis PER BAND: the leading axis is the shard axis and
-        # must collapse inside the local program
-        specs["ray_basis"] = P("ray")
+    # -- program cache -----------------------------------------------------
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), specs, P()),
-        out_specs=P("ray"),
-        check_rep=False)
-    def _sharded(state, local_batch, grid):
-        if "ray_basis" in local_batch:
-            local_batch = {**local_batch,
-                           "ray_basis": local_batch["ray_basis"][0]}
-        buf, _ = avatar._render_frame_fused(
-            state, local_batch, grid, budget, chunk_eff,
-            cell_budget, prepass_shape, samp_budget)
-        return buf
+    def _get_compiled(self, skey: tuple, fbatch: dict, has_reuse: bool):
+        """The jitted shard_map program for one static configuration.
+        ``skey`` = (budget, chunk_eff, cell_budget, prepass_shape,
+        samp_budget). Built once and cached on the renderer — steady-state
+        frames pay zero retrace."""
+        np = self._np
+        has_basis = "ray_basis" in fbatch
+        ckey = (skey, tuple(sorted(fbatch)), has_reuse)
+        fn = self._compiled.get(ckey)
+        if fn is not None:
+            return fn
+        budget, chunk_eff, cell_budget, prepass_shape, samp_budget = skey
+        avatar, mesh = self.avatar, self.mesh
 
-    buf = jax.jit(_sharded)(state, fbatch, grid)
-    rows = np.asarray(buf, np.float32).reshape(n_ray, -1, 6)
-    out = {"rgb": rows[:, :-1, :3].reshape(n, 3),
-           "depth": rows[:, :-1, 3].reshape(n),
-           "alpha": rows[:, :-1, 4].reshape(n),
-           "counter": rows[:, :-1, 5].reshape(n).astype(np.int32)}
-    return out
+        def _local(state, local_batch, grid, prev_bake, reuse):
+            if "ray_basis" in local_batch:
+                # one (4,3) basis PER BAND: the leading axis is the shard
+                # axis and must collapse inside the local program
+                local_batch = {**local_batch,
+                               "ray_basis": local_batch["ray_basis"][0]}
+            kw = (dict(prev_bake=prev_bake, reuse=reuse) if has_reuse
+                  else {})
+            buf, bake_out = avatar._render_frame_fused(
+                state, local_batch, grid, budget, chunk_eff,
+                cell_budget, prepass_shape, samp_budget, **kw)
+            if bake_out is None:
+                bake_out = jnp.zeros((), jnp.float32)
+            return buf, bake_out
+
+        specs = {k: (P() if k in self.PER_FRAME
+                     else P("ray", *([None] * (np.ndim(v) - 1))))
+                 for k, v in fbatch.items()}
+        if has_basis:
+            specs["ray_basis"] = P("ray")
+        sharded = shard_map(_local, mesh=mesh,
+                            in_specs=(P(), specs, P(), P(), P()),
+                            out_specs=(P("ray"), P()),
+                            check_rep=False)
+        fn = jax.jit(sharded)
+        self._compiled[ckey] = fn
+        return fn
+
+    # -- per-frame shaping ------------------------------------------------
+
+    def _shape_frame(self, batch, image_shape):
+        np = self._np
+        assert image_shape is not None, \
+            "DPFrameRenderer needs image_shape to split bands"
+        H, W = image_shape
+        n = H * W
+        n_ray = self.n_ray
+        assert H % n_ray == 0, (H, n_ray)
+        H_loc = H // n_ray
+        p = next((q for q in (3, 2) if H_loc % q == 0 and W % q == 0), 1)
+        prepass_shape = (H_loc, W, p)
+        fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
+                  for k, v in batch.items() if k not in ("rgb", "alpha")}
+        basis = fbatch.pop("ray_basis", None)
+        if basis is not None:
+            b = np.asarray(basis)
+            # per-band basis: fold each band's first GLOBAL row into b0
+            fbatch["ray_basis"] = jnp.asarray(np.stack(
+                [np.stack([b[0], b[1] + (c * H_loc) * b[3], b[2], b[3]])
+                 for c in range(n_ray)]))                # (n_ray, 4, 3)
+        return fbatch, n, n // n_ray, prepass_shape
+
+    def _budgets(self, session, n_loc, prepass_shape):
+        """Static budgets for the shared per-band program: session hints
+        (keyed by the per-band shape, so they never clash with the
+        single-device keys) else the model priors."""
+        avatar = self.avatar
+        p = prepass_shape[2]
+        nb = n_loc // (p * p)
+        budget, chunk_eff = avatar._round_budget(n_loc, self.chunk)
+        hint = session.samp_budget.get((n_loc, prepass_shape))
+        m = hint if hint is not None else int(nb * avatar.samples_per_ray)
+        m = min(max(m, 1), nb * avatar.n_windows)
+        samp_budget, chunk_eff = avatar._round_budget(m, self.chunk)
+        cell_budget = min(session.cell_budget.get((n_loc, prepass_shape))
+                          or avatar.cell_budget, avatar.cell_budget)
+        return budget, chunk_eff, cell_budget, samp_budget
+
+    # -- dispatch / fetch ---------------------------------------------------
+
+    def _dispatch(self, state, fbatch, grid, skey, session, fkey,
+                  fkey_refs, prev_bake=None, reuse=None):
+        """One sharded dispatch, hopping the sample budget past sizes the
+        backend compiler cannot compile (same pathology as the single-chip
+        program; see model._call_fused_size_hopped)."""
+        from ..train.model import _is_backend_compiler_crash
+        budget, chunk_eff, cell_budget, prepass_shape, samp_budget = skey
+        has_reuse = prev_bake is not None
+        if prev_bake is None:
+            # dummy replicated operands keep the jit arity fixed; the
+            # no-reuse trace never reads them
+            prev_bake = jnp.zeros((), jnp.float32)
+            reuse = jnp.zeros((), jnp.bool_)
+        samp0, last = samp_budget, None
+        for _ in range(16):
+            k = (budget, chunk_eff, cell_budget, prepass_shape,
+                 samp_budget)
+            if (k, has_reuse) in self._bad_sizes:
+                samp_budget += chunk_eff
+                continue
+            fn = self._get_compiled(k, fbatch, has_reuse)
+            try:
+                buf, bake_out = fn(state, fbatch, grid, prev_bake, reuse)
+                return buf, bake_out, k
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if not _is_backend_compiler_crash(e):
+                    raise
+                self._bad_sizes.add((k, has_reuse))
+                self._compiled.pop(
+                    (k, tuple(sorted(fbatch)), has_reuse), None)
+                samp_budget += chunk_eff
+                last = e
+        if has_reuse:
+            # degrade to bake-always rather than failing the frame
+            return self._dispatch(state, fbatch, grid,
+                                  (budget, chunk_eff, cell_budget,
+                                   prepass_shape, samp0),
+                                  session, fkey, fkey_refs)
+        raise RuntimeError(
+            f"no compilable sharded flat-stream size found near "
+            f"{samp_budget} (16 hops tried)") from last
+
+    def render_frame_async(self, state: TrainState, batch,
+                           grid=None,
+                           image_shape: tuple[int, int] | None = None,
+                           session: "Any | None" = None):
+        """Enqueue a sharded frame WITHOUT forcing a host sync; returns an
+        in-flight record for ``finish_frame``."""
+        from ..train.model import RenderSession
+        session = session or RenderSession()
+        avatar = self.avatar
+        fkey, fkey_refs = avatar._frame_key(state, batch)
+        if grid is None:
+            if fkey is not None and session.last_grid is not None \
+                    and session.last_grid[0] == fkey:
+                grid = session.last_grid[1]
+            else:
+                grid = avatar.build_test_grid(state, batch)
+                if fkey is not None:
+                    session.last_grid = (fkey, grid, fkey_refs)
+        else:
+            fkey = (fkey, id(grid)) if fkey is not None else None
+            if fkey is not None:
+                fkey_refs = fkey_refs + (grid,)
+        fbatch, n, n_loc, prepass_shape = self._shape_frame(
+            batch, image_shape)
+        budget, chunk_eff, cell_budget, samp_budget = self._budgets(
+            session, n_loc, prepass_shape)
+        skey = (budget, chunk_eff, cell_budget, prepass_shape, samp_budget)
+        prev_bake, reuse = avatar._bake_memo(session, fkey)
+        buf, bake_out, skey = self._dispatch(
+            state, fbatch, grid, skey, session, fkey, fkey_refs,
+            prev_bake=prev_bake, reuse=reuse)
+        if prev_bake is not None and fkey is not None:
+            session.last_bake = (fkey, bake_out, fkey_refs)
+        return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
+                    n=n, n_loc=n_loc, skey=skey, session=session,
+                    fkey=fkey, fkey_refs=fkey_refs)
+
+    def _unpack(self, buf, n):
+        """Per-band unpack: counters are per band; budget learning uses
+        the max over bands (the static budget is shared by the SPMD
+        program)."""
+        np = self._np
+        rows = np.asarray(buf, np.float32).reshape(self.n_ray, -1, 6)
+        extra = rows[:, -1].astype(np.int64)
+        n_hit = int((extra[:, 0] * 1024 ** 2 + extra[:, 1] * 1024
+                     + extra[:, 2]).max())
+        n_occ = int((extra[:, 3] * 1024 ** 2 + extra[:, 4] * 1024
+                     + extra[:, 5]).max())
+        out = {"rgb": rows[:, :-1, :3].reshape(n, 3),
+               "depth": rows[:, :-1, 3].reshape(n),
+               "alpha": rows[:, :-1, 4].reshape(n),
+               "counter": rows[:, :-1, 5].reshape(n).astype(np.int32)}
+        return out, n_hit, n_occ
+
+    def finish_frame(self, rec) -> dict:
+        """Fetch an in-flight sharded frame (one host transfer);
+        transparently re-renders on band overflow — same convergence loop
+        and exhaustion warning as the single-device _finish_frame."""
+        avatar = self.avatar
+        out, n_hit, n_occ = self._unpack(rec["buf"], rec["n"])
+        session, n_loc = rec["session"], rec["n_loc"]
+        budget, chunk_eff, cell_budget, prepass_shape, samp_budget = \
+            rec["skey"]
+        hkey = (n_loc, prepass_shape)
+        for _ in range(4):
+            def _hw(table, want):
+                cur = table.get(hkey)
+                table[hkey] = want if cur is None else max(cur, want)
+            _hw(session.cell_budget,
+                min(avatar.cell_budget,
+                    max(4096, -(-int(n_occ * 1.15) // 4096) * 4096)))
+            _hw(session.samp_budget, max(8192, int(n_hit * 1.2)))
+            ray_over = n_hit > samp_budget
+            cell_over = n_occ > cell_budget
+            if not (ray_over or cell_over):
+                return out
+            if ray_over:
+                samp_budget, chunk_eff = avatar._round_budget(
+                    n_hit, self.chunk)
+            if cell_over:
+                cell_budget = -(-n_occ // 4096) * 4096
+            prev_bake, reuse = avatar._bake_memo(session, rec.get("fkey"))
+            if cell_over and reuse is not None:
+                # previous bake was truncated at its cell budget; rebake
+                reuse = jnp.asarray(False)
+            skey = (budget, chunk_eff, cell_budget, prepass_shape,
+                    samp_budget)
+            buf, bake_out, skey = self._dispatch(
+                rec["state"], rec["fbatch"], rec["grid"], skey, session,
+                rec.get("fkey"), rec.get("fkey_refs"),
+                prev_bake=prev_bake, reuse=reuse)
+            budget, chunk_eff, cell_budget, prepass_shape, samp_budget = \
+                skey
+            if prev_bake is not None and rec.get("fkey") is not None:
+                session.last_bake = (rec["fkey"], bake_out,
+                                     rec.get("fkey_refs"))
+            out, n_hit, n_occ = self._unpack(buf, rec["n"])
+        if n_hit > samp_budget or n_occ > cell_budget:
+            import warnings
+            warnings.warn(
+                f"sharded frame still overflowed after 4 re-render passes "
+                f"(hits {n_hit} vs budget {samp_budget}, occupied cells "
+                f"{n_occ} vs {cell_budget}); the returned image is "
+                f"truncated", RuntimeWarning, stacklevel=3)
+        return out
+
+    def render_frame(self, state: TrainState, batch, grid=None,
+                     image_shape: tuple[int, int] | None = None,
+                     session=None) -> dict[str, Any]:
+        return self.finish_frame(self.render_frame_async(
+            state, batch, grid=grid, image_shape=image_shape,
+            session=session))
+
+    def render_frames(self, state: TrainState, batches, grid=None,
+                      image_shape: tuple[int, int] | None = None,
+                      depth: int = 2, session=None):
+        """Pipelined sharded frame sequence (the multi-chip analog of
+        AvatarModel.render_frames): keeps ``depth`` frames in flight so
+        the host fetch of frame i overlaps frame i+1's on-device compute;
+        one RenderSession spans the sequence so later frames reuse learned
+        budgets and the per-pose bake."""
+        from ..train.model import RenderSession
+        session = session or RenderSession()
+        inflight = []
+        for batch in batches:
+            inflight.append(self.render_frame_async(
+                state, batch, grid=grid, image_shape=image_shape,
+                session=session))
+            if len(inflight) > depth:
+                yield self.finish_frame(inflight.pop(0))
+        while inflight:
+            yield self.finish_frame(inflight.pop(0))
+
+
+def dp_render_frame(avatar: AvatarModel, mesh: Mesh, state: TrainState,
+                    batch: dict[str, Any], grid,
+                    image_shape: tuple[int, int],
+                    chunk: int = 32768,
+                    session=None) -> dict[str, Any]:
+    """One-shot convenience wrapper over ``DPFrameRenderer`` (kept for the
+    dryrun/tests; sequence workloads should hold a ``DPFrameRenderer`` so
+    the compiled-program cache and session persist across frames)."""
+    return DPFrameRenderer(avatar, mesh, chunk=chunk).render_frame(
+        state, batch, grid=grid, image_shape=image_shape, session=session)
 
 
 # -- subject parallelism ---------------------------------------------------

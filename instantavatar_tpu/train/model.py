@@ -1170,6 +1170,35 @@ class AvatarModel:
             state, batch, chunk, prune_rays, grid, ray_budget_frac,
             image_shape, session))
 
+    def _frame_key(self, state: TrainState, batch):
+        """Frame-asset memo key: the warp cache / sigma table / auto test
+        grid depend only on (params, betas, body_pose[, idx when per-frame
+        SMPL params are optimized]) — global orientation + translation
+        cancel in the world->SMPL transform, so turntable frames share
+        them (RenderSession.last_bake / last_grid). Returns
+        ``(fkey, fkey_refs)``; refs pin the id()-keyed objects so ids
+        cannot recycle while the key lives in a session."""
+        import numpy as _np
+
+        def _pose_part(v):
+            # content for host arrays; OBJECT IDENTITY for device arrays —
+            # np.asarray on a remote-device array costs a ~33 ms tunnel
+            # readback per frame (PERF.md), which would erase the win.
+            if isinstance(v, _np.ndarray):
+                return v.tobytes()
+            return id(v)
+
+        if not hasattr(self.deformer, "bake_packed_cache"):
+            return None, None
+        idx_k = None
+        if self.optimize_smpl and isinstance(state.params, dict) \
+                and isinstance(state.params.get("smpl"), SMPLParams):
+            idx_k = int(batch["idx"])
+        fkey = (id(state.params), self.grid_size,
+                _pose_part(batch["betas"]),
+                _pose_part(batch["body_pose"]), idx_k)
+        return fkey, (state.params, batch["betas"], batch["body_pose"])
+
     def _render_frame_async(self, state: TrainState, batch,
                             chunk: int = 32768,
                             prune_rays: bool = True,
@@ -1183,32 +1212,7 @@ class AvatarModel:
         i+1 (render_frames)."""
         if session is None:
             session = RenderSession()  # per-call: priors only, no learning
-        # frame-asset key: the warp cache / sigma table / auto test grid
-        # depend only on (params, betas, body_pose[, idx when per-frame
-        # SMPL params are optimized]) — global orientation + translation
-        # cancel in the world->SMPL transform, so turntable frames share
-        # them (RenderSession.last_bake / last_grid)
-        import numpy as _np
-
-        def _pose_part(v):
-            # content for host arrays; OBJECT IDENTITY for device arrays —
-            # np.asarray on a remote-device array costs a ~33 ms tunnel
-            # readback per frame (PERF.md), which would erase the win.
-            # The session pins the keyed objects so ids can't recycle.
-            if isinstance(v, _np.ndarray):
-                return v.tobytes()
-            return id(v)
-
-        fkey = None
-        if hasattr(self.deformer, "bake_packed_cache"):
-            idx_k = None
-            if self.optimize_smpl and isinstance(state.params, dict) \
-                    and isinstance(state.params.get("smpl"), SMPLParams):
-                idx_k = int(batch["idx"])
-            fkey = (id(state.params), self.grid_size,
-                    _pose_part(batch["betas"]),
-                    _pose_part(batch["body_pose"]), idx_k)
-            fkey_refs = (state.params, batch["betas"], batch["body_pose"])
+        fkey, fkey_refs = self._frame_key(state, batch)
         if grid is None:
             if fkey is not None and session.last_grid is not None \
                     and session.last_grid[0] == fkey:

@@ -231,3 +231,92 @@ def test_dp_fused_render_matches_single_chip(toy, tmp_path):
                                np.asarray(img_single["rgb"]), atol=2e-3)
     np.testing.assert_allclose(out["alpha"],
                                np.asarray(img_single["alpha"]), atol=2e-3)
+
+
+def test_dp_frame_renderer_production_loop(toy, tmp_path):
+    """DPFrameRenderer (VERDICT r3 item 2): cached compiled programs (no
+    per-frame re-jit), RenderSession bake reuse across a turntable,
+    pipelined render_frames parity, and transparent overflow re-render."""
+    from instantavatar_tpu.data import AvatarDataset, PatchSampler, \
+        make_synthetic_sequence
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.parallel.data_parallel import DPFrameRenderer
+    from instantavatar_tpu.train.model import RenderSession
+
+    seq = make_synthetic_sequence(tmp_path / "seq", n_frames=1, H=48, W=48)
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy, field,
+        SNARFDeformer(toy, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    fp = state.params["field"]
+    sb = list(fp.sigma_b)
+    sb[-1] = sb[-1].at[0].set(100.0)
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(sigma_b=tuple(sb))})
+    val = AvatarDataset(seq, "val", start=0, end=0)
+    b = {k: v for k, v in val[0].items() if k not in ("rgb", "alpha")}
+    grid = avatar.build_test_grid(state, b)
+
+    mesh = make_mesh(n_ray=8)
+    rend = DPFrameRenderer(avatar, mesh, chunk=1024)
+
+    # turntable: same body pose, spun global orientation -> the bake memo
+    # must engage (one bake per pose) while every frame stays exact
+    frames = [{**b, "global_orient": np.asarray(
+        [0.0, 2 * np.pi * i / 3, 0.0], np.float32)} for i in range(3)]
+    sess = RenderSession()
+    outs = list(rend.render_frames(state, frames, grid=grid,
+                                   image_shape=(48, 48), session=sess))
+    assert len(outs) == 3
+    assert sess.last_bake is not None  # bake memo engaged
+    for f, o in zip(frames, outs):
+        ref = avatar.render_frame(state, dict(f), chunk=1024, grid=grid,
+                                  prune_rays=False, image_shape=(48, 48))
+        np.testing.assert_allclose(o["rgb"], np.asarray(ref["rgb"]),
+                                   atol=2e-3)
+    # compiled-program cache: once budgets settle (one more frame may
+    # recompile at the last high-water learned from frame 3), further
+    # frames reuse cached programs — the r3 prototype re-jitted a fresh
+    # closure every call (unbounded growth)
+    list(rend.render_frames(state, frames, grid=grid,
+                            image_shape=(48, 48), session=sess))
+    n_programs = len(rend._compiled)
+    more = list(rend.render_frames(state, frames * 2, grid=grid,
+                                   image_shape=(48, 48), session=sess))
+    assert len(more) == 6
+    assert len(rend._compiled) == n_programs  # zero new traces
+
+    # overflow: a pathologically small budget hint must transparently
+    # re-render (not raise, not truncate)
+    probe = RenderSession()
+    rend.render_frame(state, frames[0], grid=grid,
+                      image_shape=(48, 48), session=probe)
+    hkey = next(iter(probe.samp_budget))
+    tiny = RenderSession()
+    tiny.samp_budget[hkey] = 1
+    dispatches = []
+    orig = rend._dispatch
+
+    def spy(*a, **kw):
+        dispatches.append(1)
+        return orig(*a, **kw)
+    rend._dispatch = spy
+    out2 = rend.render_frame(state, frames[0], grid=grid,
+                             image_shape=(48, 48), session=tiny)
+    rend._dispatch = orig
+    ref0 = avatar.render_frame(state, dict(frames[0]), chunk=1024,
+                               grid=grid, prune_rays=False,
+                               image_shape=(48, 48))
+    assert len(dispatches) >= 2  # the overflow re-render actually fired
+    np.testing.assert_allclose(out2["rgb"], np.asarray(ref0["rgb"]),
+                               atol=2e-3)

@@ -1,0 +1,187 @@
+"""Measured 8-chip render projection (VERDICT r3 item 2).
+
+The ray-sharded fused render (parallel.DPFrameRenderer) gives every chip
+an identical static-shape program: full replicated bake + a height-band
+prepass + the shared (max-over-bands) sample-stream budget. SPMD with
+static shapes means per-chip wall-clock is shape-determined, so ONE real
+chip running exactly one band's program measures the 8-chip frame time
+directly — no multi-chip hardware needed (none is reachable here), and
+no assumption that the replicated bake or per-band prepass are free
+(the r3 "8 x 1.72M" projection assumed both; this tool replaces it).
+
+Protocol (matches bench.py's turntable): 540px target; 8 chips need
+rows divisible by 8 and by the prepass subsample p=3, so the frame is
+padded 540 -> 552 rows (bands of 69x540; the 2.2% padding cost is
+charged to the projection). The measured band is the CENTER band — the
+one whose hit counts drive the shared budget.
+
+Run on the real TPU:  python tools/dp_overhead_bench.py
+Outputs JSON lines; paste into PERF.md.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+W = 540
+H_FULL = 540          # the protocol resolution (BASELINE.md)
+N_CHIP = 8
+H_PAD = 552           # next multiple of 8 with band rows % 3 == 0
+H_BAND = H_PAD // N_CHIP                      # 69 rows per chip
+TARGET = 540 * 540 * 30.0                     # 30 FPS @ 540px
+
+
+def build():
+    """bench.py's flagship setup (opaque trained-like workload)."""
+    from instantavatar_tpu.body import toy_smpl_model
+    from instantavatar_tpu.deformers import SNARFDeformer
+    from instantavatar_tpu.models import VoxelTriplaneField
+    from instantavatar_tpu.render.density_grid import make_grid_state
+    from instantavatar_tpu.train import AvatarModel
+
+    body = toy_smpl_model(bone_rings=3)
+    avatar = AvatarModel(
+        body, VoxelTriplaneField(),
+        SNARFDeformer(body, resolution=128, cano_pose="a_pose",
+                      n_iters=6, cand_cap=2, n_init_active=4),
+        n_steps=128, k_cap=8, grid_size=64,
+        eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0)
+    state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+    fp = state.params["field"]
+    sb = list(fp.sigma_b)
+    sb[-1] = sb[-1].at[0].set(100.0)
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(sigma_b=tuple(sb))})
+
+    transl = np.array([0.0, 0.15, 5.0], np.float32)
+    near = float(np.linalg.norm(transl)) - 1
+    far = float(np.linalg.norm(transl)) + 1
+
+    @jax.jit
+    def body_grid(state):
+        from instantavatar_tpu.render.density_grid import make_grid_state
+        dstate = avatar._prepare(
+            state.deformer_cano,
+            {"betas": jnp.zeros((10,)), "body_pose": jnp.zeros((69,)),
+             "global_orient": jnp.zeros((3,)),
+             "transl": jnp.asarray(transl)})
+        aabb = avatar.deformer.bbox_deformed(dstate)
+        g = make_grid_state(aabb, avatar.grid_size)
+        G = avatar.grid_size
+        idx = (jnp.arange(G) + 0.5) / G
+        zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        pts = (jnp.stack([zz, yy, xx], -1).reshape(-1, 3)
+               * (aabb[1] - aabb[0]) + aabb[0])
+        d = jnp.linalg.norm(
+            pts[:, None] - dstate.verts_smpl[None], axis=-1).min(1)
+        return g._replace(occupancy=(d < 0.08).reshape(G, G, G))
+
+    grid = body_grid(state)
+    np.asarray(grid.occupancy)
+    return avatar, state, grid, transl, near, far
+
+
+def band_batch(y0: int, h: int, transl, near, far):
+    """A batch for image rows [y0, y0+h) of the H_PAD x W frame, with the
+    pinhole basis pre-shifted exactly as DPFrameRenderer shifts each
+    band's basis."""
+    from instantavatar_tpu.data.rays import make_ray_basis, make_ray_grid
+    K = np.array([[2000.0, 0, W / 2], [0, 2000.0, H_PAD / 2], [0, 0, 1]])
+    ro, rd = make_ray_grid(K, np.eye(4), H_PAD, W)
+    b = make_ray_basis(K, np.eye(4))
+    basis = np.stack([b[0], b[1] + y0 * b[3], b[2], b[3]])
+    n = h * W
+    return {
+        "rays_o": ro.reshape(H_PAD, W, 3)[y0:y0 + h].reshape(-1, 3),
+        "rays_d": rd.reshape(H_PAD, W, 3)[y0:y0 + h].reshape(-1, 3),
+        "ray_basis": basis,
+        "near": np.full((n,), near, np.float32),
+        "far": np.full((n,), far, np.float32),
+        "bg_color": np.ones((n, 3), np.float32),
+        "betas": np.zeros((10,), np.float32),
+        "body_pose": np.zeros((69,), np.float32),
+        "global_orient": np.zeros((3,), np.float32),
+        "transl": transl,
+        "idx": np.int32(0),
+    }
+
+
+def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
+    """Steady-state per-frame seconds over a turntable (bake reused per
+    pose — bench.py protocol)."""
+    from instantavatar_tpu.train.model import RenderSession
+    session = RenderSession()
+    frames = [{**batch, "global_orient":
+               np.array([0.0, 2 * np.pi * i / n_frames, 0.0], np.float32)}
+              for i in range(n_frames)]
+    # warmup: compile + budget learning
+    for _ in avatar.render_frames(state, frames[:2], chunk=32768,
+                                  grid=grid, depth=2, image_shape=shape,
+                                  session=session):
+        pass
+    t0 = time.perf_counter()
+    for out in avatar.render_frames(state, frames, chunk=32768, grid=grid,
+                                    depth=2, image_shape=shape,
+                                    session=session):
+        assert out["rgb"].shape[0] == shape[0] * shape[1]
+    return (time.perf_counter() - t0) / n_frames
+
+
+def main() -> None:
+    avatar, state, grid, transl, near, far = build()
+
+    # 1. full-frame single-chip reference (the bench.py number, at the
+    #    same session/turntable protocol)
+    full = band_batch(0, H_PAD, transl, near, far)
+    # measure the true 540-row frame as bench.py does (H_PAD rows would
+    # overstate the single-chip cost); rebuild at exact protocol size
+    from instantavatar_tpu.data.rays import make_ray_basis, make_ray_grid
+    K = np.array([[2000.0, 0, W / 2], [0, 2000.0, H_FULL / 2], [0, 0, 1]])
+    ro, rd = make_ray_grid(K, np.eye(4), H_FULL, W)
+    n = H_FULL * W
+    full540 = {**full,
+               "rays_o": ro.reshape(-1, 3), "rays_d": rd.reshape(-1, 3),
+               "ray_basis": make_ray_basis(K, np.eye(4)),
+               "near": np.full((n,), near, np.float32),
+               "far": np.full((n,), far, np.float32),
+               "bg_color": np.ones((n, 3), np.float32)}
+    t_full = time_turntable(avatar, state, grid, full540, (H_FULL, W))
+    print(json.dumps({"event": "single_chip_full",
+                      "ms_per_frame": round(t_full * 1e3, 1),
+                      "rays_per_sec": round(n / t_full)}), flush=True)
+
+    # 2. the per-chip band program: center band (drives the shared
+    #    budget), full replicated bake, band prepass
+    y0 = (N_CHIP // 2 - 1) * H_BAND          # rows 207..276 (body center)
+    band = band_batch(y0, H_BAND, transl, near, far)
+    t_band = time_turntable(avatar, state, grid, band, (H_BAND, W))
+    print(json.dumps({"event": "per_chip_band",
+                      "band_rows": H_BAND,
+                      "ms_per_frame": round(t_band * 1e3, 1)}), flush=True)
+
+    # 3. the measured 8-chip projection: every chip runs the band program
+    #    in lockstep (static shapes), so frame time == band time
+    fps = 1.0 / t_band
+    rays = H_FULL * W * fps                   # delivered 540px rays
+    print(json.dumps({
+        "event": "projection_8chip",
+        "fps_540px": round(fps, 2),
+        "rays_per_sec": round(rays),
+        "vs_target_30fps": round(rays / TARGET, 4),
+        "scaling_efficiency": round(t_full / (N_CHIP * t_band), 3),
+        "note": "552-row padding + replicated bake + band prepass "
+                "charged; measured on one real chip running the exact "
+                "per-band program",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
