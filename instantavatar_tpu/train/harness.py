@@ -161,26 +161,18 @@ class Trainer:
         start_epoch = step // max(steps_per_epoch, 1)
         rng = np.random.default_rng(self.seed)
         t0 = time.time()
-        # host-side prefetch: decode/sample the next batch on a worker
-        # thread while the device runs the current step (the TPU analog of
-        # the reference's 8 dataloader workers, peoplesnapshot.py:164-171;
-        # cv2 releases the GIL). One pool for the whole run — per-epoch
-        # teardown stalls the pipeline at every epoch boundary.
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            pending = None
+        # input pipeline: decode/sample AND device-transfer the next batch
+        # on a worker thread while the device runs the current step — the
+        # packed single-blob transfer collapses ~14 per-leaf tunnel round
+        # trips (~10-50 ms each, PERF.md) into one (utils/prefetch.py; the
+        # TPU analog of the reference's 8 dataloader workers + pinned
+        # memory, peoplesnapshot.py:164-171).
+        from ..utils.prefetch import DevicePrefetcher
+        prefetcher = DevicePrefetcher(trainset.__getitem__)
+        try:
             for epoch in range(start_epoch, self.max_epochs):
                 order = rng.permutation(steps_per_epoch)
-                for n, i in enumerate(order):
-                    if pending is None:
-                        pending = pool.submit(trainset.__getitem__, int(i))
-                    nxt = None
-                    if n + 1 < len(order):
-                        nxt = pool.submit(trainset.__getitem__,
-                                          int(order[n + 1]))
-                    batch = {k: jnp.asarray(v)
-                             for k, v in pending.result().items()}
-                    pending = nxt
+                for batch in prefetcher.iterate(order):
                     key, sub = jax.random.split(key)
                     state, losses = self.avatar.step(state, batch, sub,
                                                      step=step)
@@ -202,6 +194,8 @@ class Trainer:
                     save_checkpoint(self.ckpt_dir, state,
                                     {"epoch": epoch, **metrics})
                     self._prune_checkpoints(keep=2)
+        finally:
+            prefetcher.close()
         return state
 
     def _prune_checkpoints(self, keep: int = 2):

@@ -1,0 +1,133 @@
+"""Host->device input pipeline tuned for remote-TPU tunnels.
+
+Through the axon tunnel a host->device transfer costs a ~10-50 ms round
+trip PER ARRAY (PERF.md), so the naive per-leaf ``jnp.asarray(batch[k])``
+pattern spends ~0.5-1 s per training step moving a ~1 MB batch of ~14
+leaves — 5x the 198 ms device step time (measured r4). Two remedies,
+composable:
+
+  * **packed transfer** (``pack_batch``/``make_unpacker``): concatenate
+    every float leaf into ONE flat f32 blob on the host, ship it in one
+    transfer, and slice/reshape it back into the batch dict inside a
+    tiny jit — 1 round trip instead of ~14. Int leaves (idx) ride a
+    second tiny array.
+  * **device prefetch** (``DevicePrefetcher``): run decode + sample +
+    pack + device_put on a worker thread one step ahead, so the
+    remaining transfer latency overlaps the device's current step
+    instead of serializing with it.
+
+The reference hides the same latency with 8 dataloader workers + pinned
+memory (peoplesnapshot.py:164-171); this is the single-host tunnel
+analog.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pack_batch", "make_unpacker", "DevicePrefetcher"]
+
+
+def _is_float(v: np.ndarray) -> bool:
+    return np.issubdtype(np.asarray(v).dtype, np.floating)
+
+
+def pack_batch(batch: dict[str, Any]):
+    """Host side: (blob_f32, ints_i32, meta). ``meta`` is static — reuse
+    one unpacker per batch schema (key -> shape map)."""
+    keys = sorted(batch)
+    fkeys = [k for k in keys if _is_float(batch[k])]
+    ikeys = [k for k in keys if k not in fkeys]
+    blob = np.concatenate(
+        [np.asarray(batch[k], np.float32).reshape(-1) for k in fkeys]) \
+        if fkeys else np.zeros((0,), np.float32)
+    ints = np.concatenate(
+        [np.asarray(batch[k], np.int32).reshape(-1) for k in ikeys]) \
+        if ikeys else np.zeros((0,), np.int32)
+    meta = (tuple((k, tuple(np.shape(batch[k]))) for k in fkeys),
+            tuple((k, tuple(np.shape(batch[k]))) for k in ikeys))
+    return blob, ints, meta
+
+
+def make_unpacker(meta) -> Callable:
+    """A jitted blob -> batch-dict unpacker for one schema (slices and
+    reshapes only — free on device)."""
+    fmeta, imeta = meta
+
+    @jax.jit
+    def unpack(blob, ints):
+        out = {}
+        o = 0
+        for k, shp in fmeta:
+            n = int(np.prod(shp)) if shp else 1
+            out[k] = blob[o:o + n].reshape(shp)
+            o += n
+        o = 0
+        for k, shp in imeta:
+            n = int(np.prod(shp)) if shp else 1
+            v = ints[o:o + n].reshape(shp)
+            out[k] = v if shp else v.reshape(())
+            o += n
+        return out
+
+    return unpack
+
+
+class DevicePrefetcher:
+    """Iterate device-resident batches with depth-1 lookahead.
+
+    ``getter(i)`` runs on a worker thread (decode + sample), then the
+    batch is packed and device_put there too, so by the time the train
+    loop needs batch i+1 its transfer already overlapped step i.
+
+    transfer="packed" (default): one f32 blob + one i32 blob per batch,
+    unpacked on device by a cached jit. transfer="tree": one
+    jax.device_put of the whole dict (simpler; more round trips).
+    """
+
+    def __init__(self, getter: Callable[[int], dict],
+                 transfer: str = "packed"):
+        assert transfer in ("packed", "tree")
+        self.getter = getter
+        self.transfer = transfer
+        self._unpackers: dict[tuple, Callable] = {}
+        # one pool for the prefetcher's lifetime — per-epoch teardown
+        # stalls the pipeline at every epoch boundary (harness.py r2)
+        self._pool = ThreadPoolExecutor(max_workers=2)
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+
+    def _fetch(self, i: int):
+        batch = self.getter(i)
+        if self.transfer == "tree":
+            return ("tree", jax.device_put(batch))
+        blob, ints, meta = pack_batch(batch)
+        return ("packed", (jax.device_put(blob), jax.device_put(ints),
+                           meta))
+
+    def _resolve(self, item):
+        kind, payload = item
+        if kind == "tree":
+            return payload
+        blob, ints, meta = payload
+        un = self._unpackers.get(meta)
+        if un is None:
+            un = self._unpackers[meta] = make_unpacker(meta)
+        return un(blob, ints)
+
+    def iterate(self, indices: Iterable[int]) -> Iterator[dict]:
+        indices = list(indices)
+        pool = self._pool
+        pending = None
+        for n, i in enumerate(indices):
+            if pending is None:
+                pending = pool.submit(self._fetch, int(i))
+            nxt = pool.submit(self._fetch, int(indices[n + 1])) \
+                if n + 1 < len(indices) else None
+            yield self._resolve(pending.result())
+            pending = nxt

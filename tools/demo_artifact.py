@@ -103,14 +103,15 @@ def main() -> None:
                         train.smpl_params["betas"])
 
     # -- 1+2. demo-budget training, wall-clock-to-PSNR --------------------
+    from instantavatar_tpu.utils.prefetch import DevicePrefetcher
+    prefetcher = DevicePrefetcher(train.__getitem__)
     key = jax.random.PRNGKey(1)
     curve = []
     t0 = time.perf_counter()
     t_train = 0.0
     step = 0
     for epoch in range(args.epochs):
-        for i in range(len(train)):
-            batch = {k: jnp.asarray(v) for k, v in train[i].items()}
+        for batch in prefetcher.iterate(range(len(train))):
             key, sub = jax.random.split(key)
             state, losses = avatar.step(state, batch, sub, step=step)
             step += 1

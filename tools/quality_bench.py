@@ -49,7 +49,8 @@ def build_scene(size: int, n_train: int, n_val: int, root: Path) -> Path:
 def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
                   lr: float = 1e-2, tiny: bool = False,
                   max_epochs: int | None = None,
-                  steps_per_epoch: int = 100):
+                  steps_per_epoch: int = 100,
+                  train_warp_cache: bool = False):
     """The production configuration (bench.py mirrors `reduced=True`);
     ``tiny`` shrinks the deformer/march for CPU smoke runs only. The
     optimizer is the reference-parity grouped Adam with the
@@ -74,6 +75,7 @@ def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
         n_steps=n_steps, k_cap=k_cap, grid_size=32 if tiny else 64,
         eval_n_steps=eval_n, cache_n_cand=1, eval_sampling=eval_sampling,
         samples_per_ray=5.0, noise_steps=500,
+        train_warp_cache=train_warp_cache,
         optimizer=make_optimizer(lr, max_epochs=max_epochs,
                                  steps_per_epoch=steps_per_epoch))
 
@@ -136,13 +138,14 @@ def main() -> None:
     state = avatar.init(jax.random.PRNGKey(0),
                         train.smpl_params["betas"])
 
+    from instantavatar_tpu.utils.prefetch import DevicePrefetcher
+    prefetcher = DevicePrefetcher(train.__getitem__)
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     curve = []
     step = 0
     for epoch in range(args.epochs):
-        for i in range(len(train)):
-            batch = {k: jnp.asarray(v) for k, v in train[i].items()}
+        for batch in prefetcher.iterate(range(len(train))):
             key, sub = jax.random.split(key)
             state, losses = avatar.step(state, batch, sub, step=step)
             step += 1
