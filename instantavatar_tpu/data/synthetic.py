@@ -85,12 +85,19 @@ def _ray_capsules(o: np.ndarray, d: np.ndarray, p0: np.ndarray,
 
 def _bone_lights(joints: np.ndarray, joints_rest: np.ndarray,
                  parents: np.ndarray, light: np.ndarray) -> np.ndarray:
-    """Rotate the canonical light into each posed bone's frame (minimal
-    rotation rest-axis -> posed-axis), so Lambert shading is rigidly
-    attached to the bone. A canonical color field can represent exactly
-    this (pose-INVARIANT canonical appearance); a fixed world light would
-    make GT colors pose-dependent and unlearnable (measured: PSNR
-    plateaus at background level)."""
+    """LEGACY light attachment: minimal rotation rest-axis -> posed-axis.
+
+    INSUFFICIENT for canonical-consistency (kept only for byte-stable
+    old scenes): the minimal rotation misses any rotation component
+    ABOUT the bone axis — under the sequence's global yaw, bones
+    parallel to the yaw axis (spine, legs: most pixels) get R = I, so
+    their lit side stays fixed in WORLD space while the body rotates.
+    A pose-independent canonical field cannot represent that; measured
+    r4 on the 540px capsule scene, training plateaus at 17 dB with the
+    val PSNR oscillating by yaw. Pass ``bone_rots`` (the FULL kinematic
+    rest->posed rotations) to render_capsule_frame instead: with
+    l_b = R_b @ l0 and world normal n_w = R_b n_c, Lambert shading
+    -(R_b n_c)@(R_b l0) = -n_c@l0 is EXACTLY pose-invariant."""
     bones = np.arange(1, len(parents))
     u0 = joints_rest[bones] - joints_rest[parents[bones]]
     u1 = joints[bones] - joints[parents[bones]]
@@ -178,7 +185,8 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
                          radii: np.ndarray | float = 0.06,
                          ss: int = 3, seed: int = 0,
                          use_jax: bool | None = None,
-                         joints_rest: np.ndarray | None = None
+                         joints_rest: np.ndarray | None = None,
+                         bone_rots: np.ndarray | None = None
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Ray-trace the posed capsule body: smooth Lambert shading +
     supersampled anti-aliased coverage.
@@ -187,9 +195,14 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
       joints: (J, 3) posed joints in camera coords (+z forward).
       parents: (J,) kinematic parents (bone b = segment parent->joint).
       radii: per-bone radius (B,) or scalar.
-      joints_rest: (J, 3) rest-pose joints; when given, the light rotates
-        with each bone (canonically-attached shading — see _bone_lights)
-        so GT appearance is learnable by a canonical color field.
+      bone_rots: (J, 3, 3) FULL rest->posed rotation per JOINT (the
+        rotation part of the SMPL ``A`` transforms); bone b uses its
+        parent joint's rotation — the same transform that moves the
+        capsule segment — making Lambert shading exactly
+        pose-invariant in canonical space (see _bone_lights).
+      joints_rest: legacy minimal-rotation light attachment (pose-
+        DEPENDENT under axial rotation — 17 dB training ceiling,
+        measured r4); prefer bone_rots.
     Returns:
       (img (H, W, 3) UNpremultiplied body color, msk (H, W) coverage) —
       the dataset's ``img * msk + (1 - msk) * bg`` then blends edges
@@ -203,7 +216,13 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
     albedo = rng.rand(len(parents), 3) * 0.6 + 0.35     # per-BONE color
     light = np.array([0.35, -0.5, 0.79])  # traveling +z: front-lit
     light /= np.linalg.norm(light)
-    if joints_rest is not None:
+    if bone_rots is not None:
+        # segment parent->child rigidly follows the PARENT joint's global
+        # transform (batch_rigid_transform: posed_c = G_p (rest_c-rest_p))
+        lights = np.einsum("bij,j->bi",
+                           bone_rots[parents[bones], :3, :3],
+                           light).astype(np.float32)
+    elif joints_rest is not None:
         lights = _bone_lights(joints, joints_rest, parents, light)
     else:
         lights = np.broadcast_to(light, (len(bones), 3)).astype(np.float32)
@@ -322,7 +341,7 @@ def make_synthetic_sequence(root: str | Path, n_frames: int = 8,
             img, msk = render_capsule_frame(
                 joints[i], np.asarray(model.parents), K, H, W,
                 radii=0.07, ss=3, seed=seed,
-                joints_rest=np.asarray(out.joints_rest)[i])
+                bone_rots=np.asarray(out.A)[i, :, :3, :3])
         else:
             img, msk = _splat_frame(verts[i], colors, K, H, W, radius)
         # written and later read via cv2 (both BGR) — consistent round-trip

@@ -73,3 +73,60 @@ def test_graft_rebuilds_pytree_from_raw():
     np.testing.assert_allclose(np.asarray(out["x"].b[0]), 7.0)
     assert out["x"].b[1] == 9
     np.testing.assert_allclose(np.asarray(out["y"][0]), [3.0])
+
+
+def test_capsule_gt_shading_is_rotation_invariant():
+    """The capsule GT's Lambert shading must be attachable to a canonical
+    field: colors along a ray must be invariant to a global rotation
+    applied to (joints, bone rotations, ray). The legacy minimal-rotation
+    light attachment violated this under yaw (R=I for bones parallel to
+    the yaw axis) — training plateaued at 17 dB (r4, 540px); the full
+    kinematic bone_rots fix makes -(R n_c)@(R l0) = -n_c@l0 exact."""
+    import cv2
+    import numpy as np
+
+    from instantavatar_tpu.body import smpl_forward, toy_smpl_model
+    from instantavatar_tpu.data.synthetic import render_capsule_frame
+
+    model = toy_smpl_model(bone_rings=2)
+    out = smpl_forward(model, np.zeros((1, 10), np.float32),
+                       np.zeros((1, 69), np.float32),
+                       np.zeros((1, 3), np.float32),
+                       np.array([[0, 0, 3.0]], np.float32))
+    joints = np.asarray(out.joints)[0]
+    A = np.asarray(out.A)[0, :, :3, :3]
+    parents = np.asarray(model.parents)
+    H = W = 128
+    f = float(W)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    th = 0.45
+    c, s = np.cos(th), np.sin(th)
+    Ry = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    i1, m1 = render_capsule_frame(joints, parents, K, H, W, radii=0.07,
+                                  ss=3, use_jax=False, bone_rots=A)
+    i2, m2 = render_capsule_frame(joints @ Ry.T, parents, K, H, W,
+                                  radii=0.07, ss=3, use_jax=False,
+                                  bone_rots=Ry @ A)
+    m1e = cv2.erode((m1 > 0.999).astype(np.uint8), np.ones((5, 5), np.uint8))
+    ys, xs = np.nonzero(m1e)
+    ys, xs = ys[::2], xs[::2]
+    d = np.stack([(xs + 0.5 - K[0, 2]) / f, (ys + 0.5 - K[1, 2]) / f,
+                  np.ones_like(xs, float)], -1)
+    d2 = d @ Ry.T
+    u2 = d2[:, 0] / d2[:, 2] * f + K[0, 2] - 0.5
+    v2 = d2[:, 1] / d2[:, 2] * f + K[1, 2] - 0.5
+    ok = (u2 >= 1) & (u2 < W - 2) & (v2 >= 1) & (v2 < H - 2)
+    ys, xs, u2, v2 = ys[ok], xs[ok], u2[ok], v2[ok]
+    x0, y0 = np.floor(u2).astype(int), np.floor(v2).astype(int)
+    fx, fy = u2 - x0, v2 - y0
+    m2e = cv2.erode((m2 > 0.999).astype(np.uint8), np.ones((3, 3), np.uint8))
+    ok2 = ((m2e[y0, x0] > 0) & (m2e[y0 + 1, x0 + 1] > 0)
+           & (m2e[y0, x0 + 1] > 0) & (m2e[y0 + 1, x0] > 0))
+    bil = (i2[y0, x0] * ((1 - fx) * (1 - fy))[:, None]
+           + i2[y0, x0 + 1] * (fx * (1 - fy))[:, None]
+           + i2[y0 + 1, x0] * ((1 - fx) * fy)[:, None]
+           + i2[y0 + 1, x0 + 1] * (fx * fy)[:, None])
+    err = np.abs(i1[ys, xs] - bil)[ok2]
+    assert ok2.sum() > 50
+    assert err.mean() < 0.008, err.mean()  # ~bilinear resample noise
