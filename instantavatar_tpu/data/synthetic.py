@@ -228,7 +228,10 @@ def render_capsule_frame(joints: np.ndarray, parents: np.ndarray,
         lights = np.broadcast_to(light, (len(bones), 3)).astype(np.float32)
 
     if use_jax is None:
-        use_jax = H * W * ss * ss > 1 << 20  # host loop = minutes @540px
+        # the host loop costs minutes per frame from ~128px up (13 min
+        # for 64 frames at 264px on a 1-core host, measured r4); the
+        # jitted tracer renders the same math in seconds
+        use_jax = H * W * ss * ss > 1 << 17
     if use_jax and np.isscalar(radii):
         import functools
 

@@ -60,10 +60,17 @@ def _init_mlp(key: jax.Array, dims: Sequence[int]):
 
 
 def _mlp(x, ws, bs, *, final_act=None, dtype=jnp.float32):
-    h = x.astype(dtype)
+    """MLP with per-layer ``dtype`` matmul inputs and fp32 accumulation.
+
+    The cast back to ``dtype`` happens at EVERY matmul input: the dot's
+    preferred_element_type=f32 output would otherwise propagate f32 into
+    all later layers, silently running them as f32 MXU passes (4-8x the
+    bf16 cost — caught via xplane r4)."""
+    h = x
     n = len(ws)
     for i, (w, b) in enumerate(zip(ws, bs)):
-        h = jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32)
+        h = jnp.dot(h.astype(dtype), w.astype(dtype),
+                    preferred_element_type=jnp.float32)
         h = h + b
         if i < n - 1:
             h = jax.nn.relu(h)

@@ -109,8 +109,9 @@ class VoxelTriplaneField:
         f_xy = plane(params.plane_xy, xn[..., (0, 1)])
         f_xz = plane(params.plane_xz, xn[..., (0, 2)])
         f_yz = plane(params.plane_yz, xn[..., (1, 2)])
-        return jnp.concatenate([f_vox, f_xy, f_xz, f_yz],
-                               axis=-1).astype(jnp.float32)
+        # stay in compute dtype: the old .astype(f32) forced a (M, 64)
+        # convert pass per frame only for _mlp to cast straight back
+        return jnp.concatenate([f_vox, f_xy, f_xz, f_yz], axis=-1)
 
     # -- field -------------------------------------------------------------
 

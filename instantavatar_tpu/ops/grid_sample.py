@@ -52,8 +52,12 @@ def grid_sample_2d_packed(packed: jax.Array, shape: tuple[int, int],
     rows = jnp.take(packed, v0 * W + u0, axis=0).reshape(-1, 4, C)
     w4 = jnp.stack([(1 - tv) * (1 - tu), (1 - tv) * tu,
                     tv * (1 - tu), tv * tu], axis=-1)   # corner = dy*2+dx
-    out = jnp.einsum("mkc,mk->mc", rows, w4)
-    return out.reshape(*out_shape, C)
+    # lerp in the rows' dtype: f32 weights would promote bf16 rows to
+    # f32, inserting a (M, C) convert pass after every gather (xplane
+    # r4: ~7 ms/frame at 540px); accumulation stays f32
+    out = jnp.einsum("mkc,mk->mc", rows, w4.astype(packed.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(packed.dtype).reshape(*out_shape, C)
 
 
 def pack_corners_3d(voxel: jax.Array) -> jax.Array:
@@ -110,8 +114,10 @@ def grid_sample_3d_packed(packed: jax.Array, shape: tuple[int, int, int],
     wz = jnp.stack([1 - tz, tz], axis=-1)
     w8 = (wz[:, :, None, None] * wy[:, None, :, None]
           * wx[:, None, None, :]).reshape(-1, 8)        # corner = dz*4+dy*2+dx
-    out = jnp.einsum("mkc,mk->mc", rows, w8)
-    return out.reshape(*out_shape, C)
+    # lerp in the rows' dtype (see grid_sample_2d_packed)
+    out = jnp.einsum("mkc,mk->mc", rows, w8.astype(packed.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(packed.dtype).reshape(*out_shape, C)
 
 
 def grid_sample_3d(voxel: jax.Array, coords: jax.Array) -> jax.Array:

@@ -103,7 +103,8 @@ class Trainer:
                  seed: int = 42,
                  eval_chunk: int = 16384,
                  evaluator=None,
-                 lr_schedule=None):
+                 lr_schedule=None,
+                 multi_step: int = 4):
         self.avatar = avatar
         self.dm = datamodule
         self.workdir = Path(workdir)
@@ -115,6 +116,10 @@ class Trainer:
         self.seed = seed
         self.eval_chunk = eval_chunk
         self.evaluator = evaluator
+        # K steps per dispatch (train_multi_step): each jit dispatch
+        # through the remote-TPU tunnel costs ~50-100 ms on top of the
+        # device step; K=4 amortizes it. 1 = per-step dispatch.
+        self.multi_step = max(1, int(multi_step))
         # step -> lr, for the LearningRateMonitor-parity train/lr log
         self.lr_schedule = lr_schedule
         self._writer = None
@@ -169,24 +174,43 @@ class Trainer:
         # memory, peoplesnapshot.py:164-171).
         from ..utils.prefetch import DevicePrefetcher
         prefetcher = DevicePrefetcher(trainset.__getitem__)
+        group = self.multi_step
+
+        def log(losses, epoch):
+            scal = {k: float(v) for k, v in losses.items()
+                    if np.ndim(v) == 0}
+            if self.lr_schedule is not None:
+                scal["lr"] = float(self.lr_schedule(step))
+            for k, v in scal.items():
+                self.writer.add_scalar(f"train/{k}", v, step)
+            print(f"[trainer] epoch {epoch} step {step} "
+                  f"loss={scal.get('loss', float('nan')):.4f} "
+                  f"({time.time() - t0:.0f}s)")
+
         try:
             for epoch in range(start_epoch, self.max_epochs):
                 order = rng.permutation(steps_per_epoch)
-                for batch in prefetcher.iterate(order):
-                    key, sub = jax.random.split(key)
-                    state, losses = self.avatar.step(state, batch, sub,
-                                                     step=step)
-                    step += 1
-                    if step % self.log_every == 0:
-                        scal = {k: float(v) for k, v in losses.items()
-                                if np.ndim(v) == 0}
-                        if self.lr_schedule is not None:
-                            scal["lr"] = float(self.lr_schedule(step))
-                        for k, v in scal.items():
-                            self.writer.add_scalar(f"train/{k}", v, step)
-                        print(f"[trainer] epoch {epoch} step {step} "
-                              f"loss={scal.get('loss', float('nan')):.4f} "
-                              f"({time.time() - t0:.0f}s)")
+                if group > 1:
+                    # one key split per epoch (a per-step split is a
+                    # tunnel dispatch of its own)
+                    keys_ep = jax.random.split(key, steps_per_epoch + 1)
+                    key, off = keys_ep[0], 0
+                    for batch in prefetcher.iterate_grouped(order, group):
+                        k = int(batch["idx"].shape[0])
+                        state, losses = self.avatar.train_multi_step(
+                            state, batch, keys_ep[1 + off:1 + off + k])
+                        off += k
+                        step += k
+                        if step % self.log_every < k:
+                            log(losses, epoch)
+                else:
+                    for batch in prefetcher.iterate(order):
+                        key, sub = jax.random.split(key)
+                        state, losses = self.avatar.step(
+                            state, batch, sub, step=step)
+                        step += 1
+                        if step % self.log_every == 0:
+                            log(losses, epoch)
 
                 if (epoch + 1) % self.check_val_every == 0 \
                         or epoch == self.max_epochs - 1:

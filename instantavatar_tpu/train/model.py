@@ -614,6 +614,35 @@ class AvatarModel:
             return self.train_step_update(state, batch, key)
         return self.train_step(state, batch, key)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_multi_step(self, state: TrainState, batches, keys):
+        """K train steps in ONE dispatch: ``lax.scan`` over batches whose
+        leaves carry a leading K axis.
+
+        Through the remote-TPU tunnel each jit dispatch costs ~50-100 ms
+        on top of the ~200 ms device step (measured r4: 0.30 s/step wall
+        with per-step dispatch); scanning K steps amortizes that K-fold.
+        The grid-update cadence keeps the reference semantics
+        (DNeRF.py:99-110, every ``grid_update_interval`` steps) via a
+        ``lax.cond`` on the DEVICE step counter — both branches compile
+        into the one program, exactly one executes per iteration.
+
+        Returns (state, losses of the LAST step) — matching what a
+        per-step logging cadence actually reads."""
+        def body(st, inp):
+            batch, key = inp
+            st2, losses = jax.lax.cond(
+                (st.step % self.grid_update_interval) == 0,
+                lambda args: self._step_impl(*args,
+                                             with_grid_update=True),
+                lambda args: self._step_impl(*args,
+                                             with_grid_update=False),
+                (st, batch, key))
+            return st2, losses
+
+        state, losses = jax.lax.scan(body, state, (batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], losses)
+
     # -- inference --------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)

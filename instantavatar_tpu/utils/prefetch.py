@@ -103,12 +103,7 @@ class DevicePrefetcher:
         self._pool.shutdown(wait=False)
 
     def _fetch(self, i: int):
-        batch = self.getter(i)
-        if self.transfer == "tree":
-            return ("tree", jax.device_put(batch))
-        blob, ints, meta = pack_batch(batch)
-        return ("packed", (jax.device_put(blob), jax.device_put(ints),
-                           meta))
+        return self._fetch_batch(self.getter(i))
 
     def _resolve(self, item):
         kind, payload = item
@@ -129,5 +124,43 @@ class DevicePrefetcher:
                 pending = pool.submit(self._fetch, int(i))
             nxt = pool.submit(self._fetch, int(indices[n + 1])) \
                 if n + 1 < len(indices) else None
+            yield self._resolve(pending.result())
+            pending = nxt
+
+    def _fetch_group(self, idxs: list[int]):
+        stacked = None
+        for i in idxs:
+            b = self.getter(int(i))
+            if stacked is None:
+                stacked = {k: [v] for k, v in b.items()}
+            else:
+                for k, v in b.items():
+                    stacked[k].append(v)
+        batch = {k: np.stack([np.asarray(x) for x in v])
+                 for k, v in stacked.items()}
+        return self._fetch_batch(batch)
+
+    def _fetch_batch(self, batch):
+        if self.transfer == "tree":
+            return ("tree", jax.device_put(batch))
+        blob, ints, meta = pack_batch(batch)
+        return ("packed", (jax.device_put(blob), jax.device_put(ints),
+                           meta))
+
+    def iterate_grouped(self, indices: Iterable[int],
+                        group: int) -> Iterator[dict]:
+        """Yield device batches whose leaves carry a leading ``group``
+        axis (for train_multi_step) — one packed transfer per K steps.
+        The tail group is smaller when len(indices) % group != 0."""
+        indices = list(indices)
+        groups = [indices[i:i + group]
+                  for i in range(0, len(indices), group)]
+        pool = self._pool
+        pending = None
+        for n, g in enumerate(groups):
+            if pending is None:
+                pending = pool.submit(self._fetch_group, g)
+            nxt = pool.submit(self._fetch_group, groups[n + 1]) \
+                if n + 1 < len(groups) else None
             yield self._resolve(pending.result())
             pending = nxt

@@ -713,3 +713,61 @@ def test_finish_frame_warns_when_overflow_loop_exhausted(seq_dir, toy_model):
         del avatar._call_fused_size_hopped
     assert len(rerenders) == 4  # the loop did try its 4 passes
     np.testing.assert_allclose(got["rgb"], out["rgb"], atol=0)
+
+
+def test_multi_step_matches_sequential(seq_dir, toy_model):
+    """train_multi_step (K steps in one dispatch, grid cadence via
+    lax.cond on the device step counter) must produce the same state as
+    K sequential avatar.step calls with the same batches/keys."""
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(toy_model, field,
+                         SMPLDeformer(toy_model, threshold=0.12,
+                                      knn_chunk=4096),
+                         n_steps=32, k_cap=8, grid_size=8, noise_steps=0,
+                         grid_update_interval=2,
+                         optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=1,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state0 = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    K = 4
+    batches = [train[i % 2] for i in range(K)]
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+
+    # sequential reference
+    st_seq = state0
+    for i in range(K):
+        b = {k: jnp.asarray(v) for k, v in batches[i].items()}
+        st_seq, losses_seq = avatar.step(st_seq, b, keys[i], step=i)
+
+    # one multi-step dispatch
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+               for k in batches[0]}
+    st_multi, losses_multi = avatar.train_multi_step(state0, stacked, keys)
+
+    assert int(st_multi.step) == int(st_seq.step)
+    for a, b in zip(jax.tree.leaves(st_seq.params),
+                    jax.tree.leaves(st_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st_seq.grid.occupancy),
+                                  np.asarray(st_multi.grid.occupancy))
+    np.testing.assert_allclose(float(losses_multi["loss"]),
+                               float(losses_seq["loss"]), atol=1e-5)
+
+
+def test_multi_step_grouped_prefetch_roundtrip(seq_dir, toy_model):
+    """iterate_grouped feeds train_multi_step: leading-K leaves, tail
+    group smaller, contents matching the per-index getter."""
+    from instantavatar_tpu.utils.prefetch import DevicePrefetcher
+    train = AvatarDataset(seq_dir, "train", start=0, end=1,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    fixed = [train[i % 2] for i in range(5)]
+    pf = DevicePrefetcher(lambda i: fixed[i])
+    got = list(pf.iterate_grouped(range(5), group=2))
+    assert [g["idx"].shape[0] for g in got] == [2, 2, 1]
+    np.testing.assert_allclose(np.asarray(got[1]["rgb"][0]),
+                               np.asarray(fixed[2]["rgb"]), atol=1e-7)

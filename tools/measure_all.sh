@@ -28,6 +28,7 @@ timeout 2400 python tools/dp_overhead_bench.py 2>"$OUT/dp_overhead.err" \
 
 echo "== 4. quality bench 540px (production train budgets + eval-budget table)"
 timeout 14000 python tools/quality_bench.py --size 540 \
+  --save-state "$OUT/trained_540.pkl" \
   2>"$OUT/quality.err" | tee "$OUT/quality.jsonl"
 
 echo "== 5. demo artifact (30-epoch 540px + turntable FPS)"

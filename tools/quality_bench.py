@@ -109,6 +109,9 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: shrink deformer/march")
     ap.add_argument("--scene", type=str, default="/tmp/quality_scene")
+    ap.add_argument("--save-state", type=str, default="",
+                    help="pickle the trained state pytree here (lets "
+                    "render-config sweeps run without retraining)")
     args = ap.parse_args()
 
     from instantavatar_tpu.body import toy_smpl_model
@@ -166,6 +169,14 @@ def main() -> None:
                               "loss": float(losses["loss"])}), flush=True)
             t0 -= 0  # t_train excludes val time: restart the clock
             t0 = time.perf_counter() - t_train
+
+    if args.save_state:
+        import pickle
+        host = jax.tree.map(np.asarray, state)
+        with open(args.save_state, "wb") as f:
+            pickle.dump(host, f)
+        print(json.dumps({"event": "state_saved",
+                          "path": args.save_state}), flush=True)
 
     # -- eval-budget table: PSNR + rays/s per render config ---------------
     table = []
