@@ -545,12 +545,13 @@ class SNARFDeformer:
 
     def make_packed_cache_fns(self, cache_rows: jax.Array,
                               grid_aabb: jax.Array, grid_size: int,
-                              net_apply, n_cand: int = 1):
+                              net_apply, n_cand: int = 1, net_shared=None):
         """Marcher closures over the packed cache (shared deformer-agnostic
         implementation — see packed_cache.make_packed_cache_fns)."""
         from .packed_cache import make_packed_cache_fns
         return make_packed_cache_fns(cache_rows, grid_aabb, grid_size,
-                                     net_apply, n_cand, self.ROW_FLOATS)
+                                     net_apply, n_cand, self.ROW_FLOATS,
+                                     net_shared=net_shared)
 
     @staticmethod
     def _filter_duplicates(xc: jax.Array, valid: jax.Array,
@@ -570,8 +571,13 @@ class SNARFDeformer:
                       ) -> jax.Array:
         """(..., 3) canonical pts -> (..., 24) trilerped LBS weights
         (single corner-packed gather per point — PERF.md)."""
+        # lerp in f32: the rows are bf16 (gather-width economics) but the
+        # weights feed forward-skinning residuals the Broyden search is
+        # judged by — bf16 lerp WEIGHTS doubled the inversion residual
+        # (0.001 -> 0.0022, test_posed_search_inverts_forward_skinning)
         w = grid_sample_3d_packed(canonical.lbs_packed, self.vox_shape,
-                                  self.normalize(canonical, xc))
+                                  self.normalize(canonical, xc),
+                                  lerp_dtype=jnp.float32)
         return w.astype(jnp.float32)
 
     def forward_skinning(self, canonical: SnarfCanonical, tfs: jax.Array,

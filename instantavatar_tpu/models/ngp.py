@@ -65,15 +65,21 @@ def _mlp(x, ws, bs, *, final_act=None, dtype=jnp.float32):
     The cast back to ``dtype`` happens at EVERY matmul input: the dot's
     preferred_element_type=f32 output would otherwise propagate f32 into
     all later layers, silently running them as f32 MXU passes (4-8x the
-    bf16 cost — caught via xplane r4)."""
+    bf16 cost — caught via xplane r4). Hidden bias-adds/relus also stay
+    in ``dtype``: an fp32 bias would materialize an (M, 64) f32
+    activation per layer only for the next matmul to cast it back
+    (xplane r4: 3 x 2.1 ms select_convert fusions per 540px frame). The
+    FINAL layer keeps the f32 accumulation — sigma/color leave in full
+    precision."""
     h = x
     n = len(ws)
     for i, (w, b) in enumerate(zip(ws, bs)):
         h = jnp.dot(h.astype(dtype), w.astype(dtype),
                     preferred_element_type=jnp.float32)
-        h = h + b
         if i < n - 1:
-            h = jax.nn.relu(h)
+            h = jax.nn.relu(h.astype(dtype) + b.astype(dtype))
+        else:
+            h = h + b
     h = h.astype(jnp.float32)
     return final_act(h) if final_act is not None else h
 

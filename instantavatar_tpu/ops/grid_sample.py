@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["grid_sample_3d", "pack_corners_3d", "grid_sample_3d_packed",
-           "pack_corners_2d", "grid_sample_2d_packed"]
+           "pack_corners_2d", "grid_sample_2d_packed",
+           "grid_sample_2d_packed_shared", "grid_sample_3d_packed_shared"]
 
 
 def pack_corners_2d(plane: jax.Array) -> jax.Array:
@@ -29,13 +30,18 @@ def pack_corners_2d(plane: jax.Array) -> jax.Array:
 
 
 def grid_sample_2d_packed(packed: jax.Array, shape: tuple[int, int],
-                          uv: jax.Array) -> jax.Array:
+                          uv: jax.Array, lerp_dtype=None) -> jax.Array:
     """Bilinear sample from a corner-packed plane (one gather per point).
 
     Args:
       packed: (H*W, 4*C) from ``pack_corners_2d``.
       shape: (H, W).
       uv: (..., 2) in [0, 1], (u -> W, v -> H), align-corners.
+      lerp_dtype: dtype the lerp weights/output use; defaults to the
+        rows' dtype (zero convert passes in bf16 hot loops). Callers
+        whose CONSUMERS need full-precision interpolation of a bf16
+        table (e.g. the LBS weight voxel feeding Broyden's forward-
+        skinning residual) pass jnp.float32 here.
 
     Returns (..., C).
     """
@@ -52,12 +58,54 @@ def grid_sample_2d_packed(packed: jax.Array, shape: tuple[int, int],
     rows = jnp.take(packed, v0 * W + u0, axis=0).reshape(-1, 4, C)
     w4 = jnp.stack([(1 - tv) * (1 - tu), (1 - tv) * tu,
                     tv * (1 - tu), tv * tu], axis=-1)   # corner = dy*2+dx
-    # lerp in the rows' dtype: f32 weights would promote bf16 rows to
-    # f32, inserting a (M, C) convert pass after every gather (xplane
-    # r4: ~7 ms/frame at 540px); accumulation stays f32
-    out = jnp.einsum("mkc,mk->mc", rows, w4.astype(packed.dtype),
+    # lerp in the rows' dtype by default: f32 weights would promote bf16
+    # rows to f32, inserting a (M, C) convert pass after every gather
+    # (xplane r4: ~7 ms/frame at 540px); accumulation stays f32
+    wdt = lerp_dtype or packed.dtype
+    out = jnp.einsum("mkc,mk->mc", rows.astype(wdt), w4.astype(wdt),
                      preferred_element_type=jnp.float32)
-    return out.astype(packed.dtype).reshape(*out_shape, C)
+    return out.astype(wdt).reshape(*out_shape, C)
+
+
+def grid_sample_2d_packed_shared(packed: jax.Array, shape: tuple[int, int],
+                                 uv_ref: jax.Array, uv: jax.Array,
+                                 lerp_dtype=None) -> jax.Array:
+    """Bilinear sample Q query variants against ONE shared corner gather.
+
+    ``uv_ref`` (N, 2) picks the corner cell — one row gather total;
+    ``uv`` (Q, N, 2) are Q per-point variants (e.g. the p^2 pixel
+    offsets of a render block, which spread millimetres at body
+    distance) whose lerp weights are taken RELATIVE TO the ref cell,
+    UNCLAMPED — a variant that leaves the ref cell linearly
+    extrapolates from it. Exact while every variant stays inside the
+    ref cell; across a face the error is O(overshoot x the neighbour
+    cells' feature-slope difference) — sub-bf16-noise for smooth
+    learned features at sub-cell offsets (gated by
+    test_shared_corner_sampling + the quality bench). Cuts gather rows
+    Q-fold: rows cost ~6 ns each regardless of width (PERF.md).
+
+    Returns (Q, N, C).
+    """
+    H, W = shape
+    C = packed.shape[-1] // 4
+    N = uv_ref.shape[0]
+    cr = uv_ref.reshape(-1, 2).astype(jnp.float32)
+    fu_r = jnp.clip(cr[:, 0], 0.0, 1.0) * (W - 1)
+    fv_r = jnp.clip(cr[:, 1], 0.0, 1.0) * (H - 1)
+    u0 = jnp.clip(jnp.floor(fu_r).astype(jnp.int32), 0, max(W - 2, 0))
+    v0 = jnp.clip(jnp.floor(fv_r).astype(jnp.int32), 0, max(H - 2, 0))
+    rows = jnp.take(packed, v0 * W + u0, axis=0).reshape(N, 4, C)
+    c = uv.astype(jnp.float32)
+    fu = jnp.clip(c[..., 0], 0.0, 1.0) * (W - 1)       # (Q, N)
+    fv = jnp.clip(c[..., 1], 0.0, 1.0) * (H - 1)
+    tu = fu - u0[None]                                  # unclamped
+    tv = fv - v0[None]
+    w4 = jnp.stack([(1 - tv) * (1 - tu), (1 - tv) * tu,
+                    tv * (1 - tu), tv * tu], axis=-1)   # (Q, N, 4)
+    wdt = lerp_dtype or packed.dtype
+    out = jnp.einsum("nkc,qnk->qnc", rows.astype(wdt), w4.astype(wdt),
+                     preferred_element_type=jnp.float32)
+    return out.astype(wdt)
 
 
 def pack_corners_3d(voxel: jax.Array) -> jax.Array:
@@ -78,13 +126,14 @@ def pack_corners_3d(voxel: jax.Array) -> jax.Array:
 
 
 def grid_sample_3d_packed(packed: jax.Array, shape: tuple[int, int, int],
-                          coords: jax.Array) -> jax.Array:
+                          coords: jax.Array, lerp_dtype=None) -> jax.Array:
     """Trilinear sample from a corner-packed voxel (one gather per point).
 
     Args:
       packed: (D*H*W, 8*C) from ``pack_corners_3d``.
       shape: (D, H, W).
       coords: (..., 3) normalized [-1, 1], xyz order (like grid_sample_3d).
+      lerp_dtype: see ``grid_sample_2d_packed``.
 
     Returns (..., C). align_corners=True, border padding.
     """
@@ -114,10 +163,54 @@ def grid_sample_3d_packed(packed: jax.Array, shape: tuple[int, int, int],
     wz = jnp.stack([1 - tz, tz], axis=-1)
     w8 = (wz[:, :, None, None] * wy[:, None, :, None]
           * wx[:, None, None, :]).reshape(-1, 8)        # corner = dz*4+dy*2+dx
-    # lerp in the rows' dtype (see grid_sample_2d_packed)
-    out = jnp.einsum("mkc,mk->mc", rows, w8.astype(packed.dtype),
+    # lerp in the rows' dtype by default (see grid_sample_2d_packed)
+    wdt = lerp_dtype or packed.dtype
+    out = jnp.einsum("mkc,mk->mc", rows.astype(wdt), w8.astype(wdt),
                      preferred_element_type=jnp.float32)
-    return out.astype(packed.dtype).reshape(*out_shape, C)
+    return out.astype(wdt).reshape(*out_shape, C)
+
+
+def grid_sample_3d_packed_shared(packed: jax.Array,
+                                 shape: tuple[int, int, int],
+                                 coords_ref: jax.Array, coords: jax.Array,
+                                 lerp_dtype=None) -> jax.Array:
+    """Trilinear sample Q query variants against ONE shared corner gather.
+
+    3-D analog of ``grid_sample_2d_packed_shared``: ``coords_ref``
+    (N, 3) picks the cell (one row gather), ``coords`` (Q, N, 3) trilerp
+    against it with unclamped weights (linear extrapolation outside the
+    ref cell). Both in [-1, 1] xyz order. Returns (Q, N, C).
+    """
+    D, H, W = shape
+    C = packed.shape[-1] // 8
+    N = coords_ref.shape[0]
+    cr = coords_ref.reshape(-1, 3).astype(jnp.float32)
+
+    def base(f, size):
+        f = jnp.clip(f, 0.0, size - 1.0)
+        return jnp.clip(jnp.floor(f).astype(jnp.int32), 0, max(size - 2, 0))
+
+    x0 = base((cr[:, 0] + 1.0) * 0.5 * (W - 1), W)
+    y0 = base((cr[:, 1] + 1.0) * 0.5 * (H - 1), H)
+    z0 = base((cr[:, 2] + 1.0) * 0.5 * (D - 1), D)
+    rows = jnp.take(packed, (z0 * H + y0) * W + x0, axis=0).reshape(N, 8, C)
+
+    c = coords.astype(jnp.float32)
+    tx = jnp.clip((c[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0) \
+        - x0[None]                                      # (Q, N), unclamped
+    ty = jnp.clip((c[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0) \
+        - y0[None]
+    tz = jnp.clip((c[..., 2] + 1.0) * 0.5 * (D - 1), 0.0, D - 1.0) \
+        - z0[None]
+    wx = jnp.stack([1 - tx, tx], axis=-1)               # (Q, N, 2)
+    wy = jnp.stack([1 - ty, ty], axis=-1)
+    wz = jnp.stack([1 - tz, tz], axis=-1)
+    w8 = (wz[..., :, None, None] * wy[..., None, :, None]
+          * wx[..., None, None, :]).reshape(*tx.shape, 8)  # dz*4+dy*2+dx
+    wdt = lerp_dtype or packed.dtype
+    out = jnp.einsum("nkc,qnk->qnc", rows.astype(wdt), w8.astype(wdt),
+                     preferred_element_type=jnp.float32)
+    return out.astype(wdt)
 
 
 def grid_sample_3d(voxel: jax.Array, coords: jax.Array) -> jax.Array:
