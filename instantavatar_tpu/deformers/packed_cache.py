@@ -28,7 +28,7 @@ ROW_FLOATS = 13  # xc(3) + J_inv(9) + valid(1)
 
 def make_packed_cache_fns(cache_rows: jax.Array, grid_aabb: jax.Array,
                           grid_size: int, net_apply, n_cand: int = 1,
-                          row_floats: int = ROW_FLOATS):
+                          row_floats: int = ROW_FLOATS, net_shared=None):
     """Marcher closures over the packed cache. Returns
     (probe_fn, field_fn, occupancy_fn, field_fn_pts):
 
@@ -80,41 +80,60 @@ def make_packed_cache_fns(cache_rows: jax.Array, grid_aabb: jax.Array,
         rows = jnp.take(cache_rows, flat, axis=0)
         return field_fn(pts, rows)
 
-    def field_fn(pts, rows, centers=None):
+    def field_fn(pts, rows, centers=None, pts_all=None):
         """``centers``: optional (M, 3) cell centers the rows were
         BAKED for — callers that gather one row per block sample and
         reuse it across nearby pixel rays (flat eval) must pass the
         row's own center so the cached-Newton delta is taken against
         the correct expansion point even when a pixel ray crosses a
-        cell boundary."""
+        cell boundary.
+
+        ``pts_all``: optional (Q, M, 3) pixel-offset variants of
+        ``pts`` (which must be one of them — the block-center ray's
+        samples). Requires ``net_shared`` (field ``apply_shared``):
+        the Newton step runs per variant but the canonical field's
+        corner gathers are shared across the Q variants (they spread
+        millimetres in canonical space). Returns (Q, ...) leading
+        shapes instead of (M, ...)."""
         M = pts.shape[0]
         r = rows.reshape(M, K, R)[:, :C]
         if centers is None:
             cell, _ = cell_of(pts)
             centers = aabb0 + (cell.astype(jnp.float32) + 0.5) \
                 / G * span
-        delta = pts - centers                           # (M, 3)
         xc0 = r[..., 0:3]
         Ji = r[..., 3:12].reshape(M, C, 3, 3)
         val = r[..., 12] > 0.5
-        xc = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, delta)
-        rgb, sigma = net_apply(xc.reshape(M * C, 3))
-        rgb = rgb.reshape(M, C, 3)
-        sigma = sigma.reshape(M, C)
+        if pts_all is None:
+            delta = pts - centers                       # (M, 3)
+            xc = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, delta)
+            rgb, sigma = net_apply(xc.reshape(M * C, 3))
+            rgb = rgb.reshape(M, C, 3)
+            sigma = sigma.reshape(M, C)
+        else:
+            Q = pts_all.shape[0]
+            xc_ref = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, pts - centers)
+            xc = xc0[None] + jnp.einsum("mcrk,qmk->qmcr", Ji,
+                                        pts_all - centers[None])
+            rgb, sigma = net_shared(xc_ref.reshape(M * C, 3),
+                                    xc.reshape(Q, M * C, 3))
+            rgb = rgb.reshape(Q, M, C, 3)
+            sigma = sigma.reshape(Q, M, C)
+            val = val[None]
         finite = jnp.isfinite(sigma) & jnp.isfinite(rgb).all(-1)
         ok = val & finite
         sigma = jnp.where(ok, sigma, -1e5)
         if C == 1:
-            sigma_out, rgb_out = sigma[:, 0], rgb[:, 0]
-            any_ok = ok[:, 0]
+            sigma_out, rgb_out = sigma[..., 0], rgb[..., 0, :]
+            any_ok = ok[..., 0]
         else:
             best = jnp.argmax(sigma, axis=-1)
-            sigma_out = jnp.take_along_axis(sigma, best[:, None],
-                                            axis=1)[:, 0]
+            sigma_out = jnp.take_along_axis(sigma, best[..., None],
+                                            axis=-1)[..., 0]
             rgb_out = jnp.take_along_axis(
-                rgb, best[:, None, None].repeat(3, -1), axis=1)[:, 0]
+                rgb, best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
             any_ok = ok.any(axis=-1)
-        rgb_out = jnp.where(any_ok[:, None], rgb_out, 0.0)
+        rgb_out = jnp.where(any_ok[..., None], rgb_out, 0.0)
         return rgb_out, sigma_out, any_ok
 
     return probe_fn, field_fn, occupancy_fn, field_fn_pts

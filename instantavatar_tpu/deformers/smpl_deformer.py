@@ -243,12 +243,13 @@ class SMPLDeformer:
 
     def make_packed_cache_fns(self, cache_rows: jax.Array,
                               grid_aabb: jax.Array, grid_size: int,
-                              net_apply, n_cand: int = 1):
+                              net_apply, n_cand: int = 1, net_shared=None):
         """Marcher closures over the packed cache (shared deformer-agnostic
         implementation — see packed_cache.make_packed_cache_fns)."""
         from .packed_cache import make_packed_cache_fns
         return make_packed_cache_fns(cache_rows, grid_aabb, grid_size,
-                                     net_apply, n_cand, self.ROW_FLOATS)
+                                     net_apply, n_cand, self.ROW_FLOATS,
+                                     net_shared=net_shared)
 
     def make_frame_field_fn(self, cano, state: SMPLDeformerState, net_apply,
                             eval_mode: bool = False):

@@ -258,7 +258,9 @@ class DPFrameRenderer:
         n_ray = self.n_ray
         assert H % n_ray == 0, (H, n_ray)
         H_loc = H // n_ray
-        p = next((q for q in (3, 2) if H_loc % q == 0 and W % q == 0), 1)
+        cand = ((self.avatar.prepass_block,) if self.avatar.prepass_block
+                else (3, 2))
+        p = next((q for q in cand if H_loc % q == 0 and W % q == 0), 1)
         prepass_shape = (H_loc, W, p)
         fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
                   for k, v in batch.items() if k not in ("rgb", "alpha")}
@@ -281,7 +283,9 @@ class DPFrameRenderer:
         budget, chunk_eff = avatar._round_budget(n_loc, self.chunk)
         hint = session.samp_budget.get((n_loc, prepass_shape))
         m = hint if hint is not None else int(nb * avatar.samples_per_ray)
-        m = min(max(m, 1), nb * avatar.n_windows)
+        # ceiling matches the direct flat selection (up to prepass_steps
+        # kept samples per block — see model.py's samp_budget clamp)
+        m = min(max(m, 1), nb * avatar.prepass_steps)
         samp_budget, chunk_eff = avatar._round_budget(m, self.chunk)
         cell_budget = min(session.cell_budget.get((n_loc, prepass_shape))
                           or avatar.cell_budget, avatar.cell_budget)

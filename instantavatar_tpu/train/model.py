@@ -160,12 +160,14 @@ class AvatarModel:
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
+                 shared_corner_eval: bool = True,
                  n_windows: int = 48,
                  term_T: float | None = 1e-5,
                  samples_per_ray: float = 3.0,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
                  prepass_steps: int = 96,
+                 prepass_block: int | None = None,
                  prepass_dilate: int = 1,
                  prepass_margin_steps: float = 1.5,
                  loss_weights: dict[str, float] | None = None,
@@ -207,6 +209,12 @@ class AvatarModel:
         # window padding; "dense" keeps the per-chunk dense march +
         # compaction
         self.eval_sampling = eval_sampling
+        # flat-mode field eval shares each block sample's feature-lattice
+        # corner gathers across the p^2 pixel offsets (their canonical
+        # points spread millimetres); offsets just outside the shared
+        # cell linearly extrapolate. Needs field.apply_shared; gated by
+        # test_shared_corner_render parity + the quality bench.
+        self.shared_corner_eval = shared_corner_eval
         self.n_windows = n_windows
         # transmittance-terminated window selection (flat/windows modes):
         # drop prepass samples whose estimated transmittance — from the
@@ -229,6 +237,12 @@ class AvatarModel:
         # (prepass_dilate 3^3 max-pools guarantee grazing rays cannot step
         # over the occupied shell at this stride — see _coarse_occupancy)
         self.prepass_steps = prepass_steps
+        # pixel-block edge p for the subsampled prepass / flat selection
+        # (None -> auto from (3, 2) by divisibility). Larger p shrinks
+        # the prepass+selection machinery ~p^2/9-fold while the p^2
+        # pixels of a block share windows/cache rows; the canonical
+        # offset spread grows with p (quality-gate any change).
+        self.prepass_block = prepass_block
         self.prepass_dilate = prepass_dilate
         # z-span margin in coarse-step units (large => spans degenerate to
         # the full [near, far], useful to isolate cache-vs-search effects)
@@ -329,6 +343,17 @@ class AvatarModel:
 
     def _net_apply(self, params, center, scale):
         return lambda x: self.field.apply(params, x, center, scale)
+
+    def _net_apply_shared(self, params, center, scale):
+        """Shared-corner multi-variant field closure (or None if the
+        field doesn't support it): (x_ref (N,3), x (Q,N,3)) ->
+        (rgb (Q,N,3), sigma (Q,N)) with the feature-lattice corner
+        gathers shared across the Q variants (see
+        VoxelTriplaneField.encode_shared)."""
+        if not hasattr(self.field, "apply_shared"):
+            return None
+        return lambda x_ref, x: self.field.apply_shared(
+            params, x_ref, x, center, scale)
 
     def _resolve_batch(self, params, batch):
         """Swap in the optimized per-frame SMPL params (DNeRF.py:113-128;
@@ -747,6 +772,9 @@ class AvatarModel:
                      and self.eval_sampling in ("flat", "windows"))
         n_occ = jnp.int32(0)
         bake_out = None
+        net_shared = (self._net_apply_shared(field_params, state.center,
+                                             state.scale)
+                      if self.shared_corner_eval else None)
         if use_cache:
             # -- 4. packed warp-cache bake (BEFORE the prepass: its
             # validity table drives window selection below) --------------
@@ -804,7 +832,8 @@ class AvatarModel:
             bake_out = (cache, sig_table)
             probe_fn, pfield_fn, occ_fn, field_pts = \
                 self.deformer.make_packed_cache_fns(
-                    cache, aabb, G, net, self.cache_n_cand)
+                    cache, aabb, G, net, self.cache_n_cand,
+                    net_shared=net_shared)
 
         # -- 2. coarse prepass --------------------------------------------
         # Optionally run on a p x p-subsampled ray lattice (image-space
@@ -892,12 +921,12 @@ class AvatarModel:
         z_lo = jnp.minimum(z_lo, z_hi)
         use_windows = use_windows_mode
         z_w = keep_w = None
-        if use_windows or use_flat:
+        if use_windows:
             # sample selection happens HERE: compact each ray's occupied
             # coarse samples into n_windows ascending window centers —
-            # the chunk phase then needs no occupancy march at all. In
-            # flat mode the windows stay on the SUBSAMPLED block lattice
-            # (never upsampled — the 9 block pixels share them).
+            # the chunk phase then needs no occupancy march at all.
+            # (Flat mode selects directly off the dense lattice below —
+            # no per-ray compaction at all.)
             from ..render.raymarcher import compact_samples
             idx_w, keep_w = compact_samples(occ, self.n_windows)
             z_w = jnp.where(keep_w, jnp.take_along_axis(z, idx_w, axis=-1),
@@ -920,35 +949,41 @@ class AvatarModel:
         if bg is not None:
             bg = jnp.broadcast_to(bg.reshape(-1, 3), (n, 3))
         if use_flat:
-            # -- 3'. block-level sample compaction --------------------------
-            # No per-ray padding anywhere: every kept (block, window) pair
+            # -- 3'. direct block-level sample selection --------------------
+            # No per-ray padding anywhere: every kept (block, stride) pair
             # compacts into ONE static (samp_budget,) stream ordered
             # (block-major, z-ascending — jnp.nonzero is order-
-            # preserving). Compaction runs on the p x p-SUBSAMPLED block
-            # lattice (the p^2 pixels of a block share their windows), so
-            # the nonzero, the counts and the stream metadata are p^2
-            # smaller than per-pixel selection; per-pixel work appears
-            # only in the field-eval/composite loop over the p^2 pixel
-            # offsets (stage 5'), where each offset reuses the same
-            # stream with its own ray rows. The kept-count rides the
-            # n_hit report slot for transparent re-render on overflow.
-            Kw = self.n_windows
-            keep_b = keep_w > 0.5                      # (nb, Kw)
-            nb = keep_b.shape[0]
-            counts_b = keep_b.sum(-1).astype(jnp.int32)
+            # preserving). Selection runs DIRECTLY on the dense prepass
+            # lattice: z is AFFINE in the stride index (sample_z:
+            # z = near + (i + 0.5) * step), so the former per-ray window
+            # compaction (cumsum + one-hot MXU contraction) + its z
+            # gather + the packed zdt row gather all collapse into one
+            # nonzero + index math + a single packed (near, step) row
+            # gather (xplane r4: the window machinery cost ~44 ms/frame
+            # at 540px — take_along_axis 15.1 ms + its S(1) copy 15.1 ms
+            # + the Kw-lattice nonzero 13.6 ms). Selection stays on the
+            # p x p-SUBSAMPLED block lattice (the p^2 pixels of a block
+            # share their samples); per-pixel work appears only in the
+            # field-eval/composite loop over the p^2 pixel offsets
+            # (stage 5'). The kept-count rides the n_hit report slot for
+            # transparent re-render on overflow.
+            S_lat = occ.shape[-1]
+            nb = occ.shape[0]
+            counts_b = occ.sum(-1).astype(jnp.int32)
             n_hit = counts_b.sum()
             offsets = jnp.cumsum(counts_b) - counts_b  # (nb,) excl. cumsum
-            (sidx,) = jnp.nonzero(keep_b.reshape(-1), size=samp_budget,
-                                  fill_value=nb * Kw)
-            smask = sidx < nb * Kw
+            (sidx,) = jnp.nonzero(occ.reshape(-1), size=samp_budget,
+                                  fill_value=nb * S_lat)
+            smask = sidx < nb * S_lat
             ssafe = jnp.where(smask, sidx, 0)
-            blk_id = (ssafe // Kw).astype(jnp.int32)
-            # z + dt packed per window row — ONE gather (row count is
-            # what costs, not width)
-            zdt = jnp.stack(
-                [z_w, jnp.broadcast_to(step_blk[:, None], z_w.shape)],
-                axis=-1).reshape(nb * Kw, 2)
-            zdt_s = zdt[ssafe]
+            blk_id = (ssafe // S_lat).astype(jnp.int32)
+            s_in = (ssafe % S_lat).astype(jnp.float32)
+            # near + step packed per BLOCK row — one (samp_budget,)
+            # gather (row count is what costs, not width)
+            nf = jnp.stack([near_s, step_blk], axis=-1)  # (nb, 2)
+            nf_s = nf[blk_id]
+            z_s = nf_s[:, 0] + (s_in + 0.5) * nf_s[:, 1]
+            dt_s = nf_s[:, 1]
         else:
             n_hit = hit.sum()
 
@@ -1028,7 +1063,7 @@ class AvatarModel:
             from ..render.compositing import composite_stream
             S = samp_budget
             pp = p * p
-            z_s, dt_s = zdt_s[:, 0], zdt_s[:, 1]
+            # z_s/dt_s computed in stage 3' (affine in the stride index)
             if p > 1:
                 Hb, Wb = Hs // p, Ws // p
                 by, bx = blk_id // Wb, blk_id % Wb
@@ -1084,14 +1119,28 @@ class AvatarModel:
             cell = jnp.clip(jnp.floor((pts_q[qc] - aabb[0]) / span * G),
                             0, G - 1)
             centers = aabb[0] + (cell + 0.5) / G * span      # (S, 3)
-            tile = lambda x: jnp.broadcast_to(
-                x[None], (pp, *x.shape)).reshape(pp * x.shape[0],
-                                                 *x.shape[1:])
-            rgb_s, sigma_s, ok = pfield_fn(
-                pts_q.reshape(pp * S, 3), tile(rows_blk), tile(centers))
-            rgb_s = rgb_s.reshape(pp, S, 3)
-            sigma_s = sigma_s.reshape(pp, S)
-            ok = ok.reshape(pp, S) & smask[None]
+            if net_shared is not None:
+                # shared-corner eval: the Newton step still runs per
+                # pixel offset, but the canonical field's 4 feature
+                # gathers happen ONCE per block sample (the offsets'
+                # canonical points spread millimetres — within/around
+                # one feature cell) and each offset trilerps/
+                # extrapolates against the shared corner rows. Also
+                # skips the (pp*S, K*13) row/center tile broadcasts
+                # (xplane r4: gathers 26.4 ms + tiles ~8 ms -> ~4 ms).
+                rgb_s, sigma_s, ok = pfield_fn(
+                    pts_q[qc], rows_blk, centers, pts_all=pts_q)
+            else:
+                tile = lambda x: jnp.broadcast_to(
+                    x[None], (pp, *x.shape)).reshape(pp * x.shape[0],
+                                                     *x.shape[1:])
+                rgb_s, sigma_s, ok = pfield_fn(
+                    pts_q.reshape(pp * S, 3), tile(rows_blk),
+                    tile(centers))
+                rgb_s = rgb_s.reshape(pp, S, 3)
+                sigma_s = sigma_s.reshape(pp, S)
+                ok = ok.reshape(pp, S)
+            ok = ok & smask[None]
             acc = jax.vmap(
                 lambda s, r, o: composite_stream(
                     s, r, z_s, dt_s, o, blk_id, offsets, counts_b)
@@ -1263,7 +1312,9 @@ class AvatarModel:
         if image_shape is not None:
             H, W = image_shape
             if H * W == n:
-                for p in (3, 2):
+                cand = ((self.prepass_block,)
+                        if self.prepass_block else (3, 2))
+                for p in cand:
                     if H % p == 0 and W % p == 0:
                         prepass_shape = (H, W, p)
                         break
@@ -1286,7 +1337,11 @@ class AvatarModel:
             nb = n // (p * p)
             hint = session.samp_budget.get((n, prepass_shape))
             m = hint if hint is not None else int(nb * self.samples_per_ray)
-            m = min(max(m, 1), nb * self.n_windows)
+            # direct flat selection keeps up to prepass_steps samples per
+            # block (no per-ray n_windows cap anymore) — the budget
+            # ceiling must match or a dense pattern could overflow
+            # forever against a clamp it can never satisfy
+            m = min(max(m, 1), nb * self.prepass_steps)
             samp_budget, chunk_eff = self._round_budget(m, chunk)
         # adaptive bake capacity: the previous frame's occupied-cell count
         # (+15%, 4096-granular) sizes this frame's bake — the default

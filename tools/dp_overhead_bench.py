@@ -116,14 +116,22 @@ def band_batch(y0: int, h: int, transl, near, far):
 
 def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
     """Steady-state per-frame seconds over a turntable (bake reused per
-    pose — bench.py protocol)."""
+    pose — bench.py protocol).
+
+    Warmup covers the FULL turntable, not just 2 frames: a later
+    orientation can overflow the budgets learned on the first two,
+    and the overflow re-render compiles a bigger program (~90 s
+    through the tunnel) INSIDE the timed loop — the r4 battery's
+    11.8 s/frame "single_chip_full" was exactly one such compile
+    amortized over 8 frames. Pass 2 re-renders the same frames with
+    settled budgets; the r4 steady-state bench.py number reproduces."""
     from instantavatar_tpu.train.model import RenderSession
     session = RenderSession()
     frames = [{**batch, "global_orient":
                np.array([0.0, 2 * np.pi * i / n_frames, 0.0], np.float32)}
               for i in range(n_frames)]
-    # warmup: compile + budget learning
-    for _ in avatar.render_frames(state, frames[:2], chunk=32768,
+    # warmup pass: compile + budget learning over every orientation
+    for _ in avatar.render_frames(state, frames, chunk=32768,
                                   grid=grid, depth=2, image_shape=shape,
                                   session=session):
         pass
