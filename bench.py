@@ -123,9 +123,9 @@ def main(animation: bool = False) -> None:
     # session spans warmup + timing so the learned budgets carry over)
     session = RenderSession()
     avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
-                        image_shape=(H, W), session=session)
+                        image_shape=(H, W), session=session, payload="u8")
     avatar.render_frame(state, batch, chunk=CHUNK, grid=grid,
-                        image_shape=(H, W), session=session)
+                        image_shape=(H, W), session=session, payload="u8")
 
     # steady-state NOVEL-VIEW throughput (the BASELINE.md 30 FPS metric):
     # turntable protocol — fixed body pose, global orientation spun per
@@ -147,7 +147,8 @@ def main(animation: bool = False) -> None:
         # warm the distinct-pose program path (first pose compiled above
         # reused; bake branch of the cond now taken every frame)
         avatar.render_frame(state, frames[0], chunk=CHUNK, grid=grid,
-                            image_shape=(H, W), session=session)
+                            image_shape=(H, W), session=session,
+                            payload="u8")
     else:
         frames = [{**batch,
                    "global_orient": jnp.asarray(
@@ -156,7 +157,8 @@ def main(animation: bool = False) -> None:
     t0 = time.perf_counter()
     for out in avatar.render_frames(state, frames,
                                     chunk=CHUNK, grid=grid, depth=2,
-                                    image_shape=(H, W), session=session):
+                                    image_shape=(H, W), session=session,
+                                    payload="u8"):
         assert out["rgb"].shape == (H * W, 3)
     dt = (time.perf_counter() - t0) / n_frames
 

@@ -75,9 +75,11 @@ def render_sequence(trainer, state, batches, out_dir: Path,
     shapes = [(H, W) for H, W, _ in batches]
     # pipelined renderer: frame i's host fetch overlaps frame i+1's
     # on-device compute (render_frames keeps 2 frames in flight)
+    # u8 payload: the frames are written as u8 PNGs anyway, and the
+    # quantized fetch is ~3x smaller through the host link (PERF.md)
     outs = trainer.avatar.render_frames(
         state, [b for _, _, b in batches], chunk=trainer.eval_chunk,
-        image_shape=shapes[0] if shapes else None)
+        image_shape=shapes[0] if shapes else None, payload="u8")
     for i, ((H, W), out) in enumerate(zip(shapes, outs)):
         rgb = np.clip(out["rgb"].reshape(H, W, 3), 0, 1)
         alpha = np.clip(out["alpha"].reshape(H, W, 1), 0, 1)

@@ -205,14 +205,15 @@ class DPFrameRenderer:
 
     # -- program cache -----------------------------------------------------
 
-    def _get_compiled(self, skey: tuple, fbatch: dict, has_reuse: bool):
+    def _get_compiled(self, skey: tuple, fbatch: dict, has_reuse: bool,
+                      payload: str = "f16"):
         """The jitted shard_map program for one static configuration.
         ``skey`` = (budget, chunk_eff, cell_budget, prepass_shape,
         samp_budget). Built once and cached on the renderer — steady-state
         frames pay zero retrace."""
         np = self._np
         has_basis = "ray_basis" in fbatch
-        ckey = (skey, tuple(sorted(fbatch)), has_reuse)
+        ckey = (skey, tuple(sorted(fbatch)), has_reuse, payload)
         fn = self._compiled.get(ckey)
         if fn is not None:
             return fn
@@ -229,7 +230,8 @@ class DPFrameRenderer:
                   else {})
             buf, bake_out = avatar._render_frame_fused(
                 state, local_batch, grid, budget, chunk_eff,
-                cell_budget, prepass_shape, samp_budget, **kw)
+                cell_budget, prepass_shape, samp_budget,
+                payload=payload, **kw)
             if bake_out is None:
                 bake_out = jnp.zeros((), jnp.float32)
             return buf, bake_out
@@ -294,7 +296,8 @@ class DPFrameRenderer:
     # -- dispatch / fetch ---------------------------------------------------
 
     def _dispatch(self, state, fbatch, grid, skey, session, fkey,
-                  fkey_refs, prev_bake=None, reuse=None):
+                  fkey_refs, prev_bake=None, reuse=None,
+                  payload: str = "f16"):
         """One sharded dispatch, hopping the sample budget past sizes the
         backend compiler cannot compile (same pathology as the single-chip
         program; see model._call_fused_size_hopped)."""
@@ -310,19 +313,19 @@ class DPFrameRenderer:
         for _ in range(16):
             k = (budget, chunk_eff, cell_budget, prepass_shape,
                  samp_budget)
-            if (k, has_reuse) in self._bad_sizes:
+            if (k, has_reuse, payload) in self._bad_sizes:
                 samp_budget += chunk_eff
                 continue
-            fn = self._get_compiled(k, fbatch, has_reuse)
+            fn = self._get_compiled(k, fbatch, has_reuse, payload)
             try:
                 buf, bake_out = fn(state, fbatch, grid, prev_bake, reuse)
                 return buf, bake_out, k
             except Exception as e:  # noqa: BLE001 — filtered below
                 if not _is_backend_compiler_crash(e):
                     raise
-                self._bad_sizes.add((k, has_reuse))
+                self._bad_sizes.add((k, has_reuse, payload))
                 self._compiled.pop(
-                    (k, tuple(sorted(fbatch)), has_reuse), None)
+                    (k, tuple(sorted(fbatch)), has_reuse, payload), None)
                 samp_budget += chunk_eff
                 last = e
         if has_reuse:
@@ -330,7 +333,8 @@ class DPFrameRenderer:
             return self._dispatch(state, fbatch, grid,
                                   (budget, chunk_eff, cell_budget,
                                    prepass_shape, samp0),
-                                  session, fkey, fkey_refs)
+                                  session, fkey, fkey_refs,
+                                  payload=payload)
         raise RuntimeError(
             f"no compilable sharded flat-stream size found near "
             f"{samp_budget} (16 hops tried)") from last
@@ -338,7 +342,8 @@ class DPFrameRenderer:
     def render_frame_async(self, state: TrainState, batch,
                            grid=None,
                            image_shape: tuple[int, int] | None = None,
-                           session: "Any | None" = None):
+                           session: "Any | None" = None,
+                           payload: str = "f16"):
         """Enqueue a sharded frame WITHOUT forcing a host sync; returns an
         in-flight record for ``finish_frame``."""
         from ..train.model import RenderSession
@@ -365,19 +370,33 @@ class DPFrameRenderer:
         prev_bake, reuse = avatar._bake_memo(session, fkey)
         buf, bake_out, skey = self._dispatch(
             state, fbatch, grid, skey, session, fkey, fkey_refs,
-            prev_bake=prev_bake, reuse=reuse)
+            prev_bake=prev_bake, reuse=reuse, payload=payload)
         if prev_bake is not None and fkey is not None:
             session.last_bake = (fkey, bake_out, fkey_refs)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
                     n=n, n_loc=n_loc, skey=skey, session=session,
-                    fkey=fkey, fkey_refs=fkey_refs)
+                    fkey=fkey, fkey_refs=fkey_refs, payload=payload)
 
     def _unpack(self, buf, n):
         """Per-band unpack: counters are per band; budget learning uses
         the max over bands (the static budget is shared by the SPMD
         program)."""
         np = self._np
-        rows = np.asarray(buf, np.float32).reshape(self.n_ray, -1, 6)
+        buf = np.asarray(buf)
+        if buf.dtype == np.uint8:
+            rows8 = buf.reshape(self.n_ray, -1)
+            extra = rows8[:, -8:].astype(np.int64)
+            n_hit = int((extra[:, 0] * 65536 + extra[:, 1] * 256
+                         + extra[:, 2]).max())
+            n_occ = int((extra[:, 3] * 65536 + extra[:, 4] * 256
+                         + extra[:, 5]).max())
+            q = rows8[:, :-8].reshape(self.n_ray, -1, 4) \
+                .astype(np.float32) / 255.0
+            return ({"rgb": q[..., :3].reshape(n, 3),
+                     "alpha": q[..., 3].reshape(n),
+                     "depth": np.zeros(n, np.float32),
+                     "counter": np.zeros(n, np.int32)}, n_hit, n_occ)
+        rows = buf.astype(np.float32).reshape(self.n_ray, -1, 6)
         extra = rows[:, -1].astype(np.int64)
         n_hit = int((extra[:, 0] * 1024 ** 2 + extra[:, 1] * 1024
                      + extra[:, 2]).max())
@@ -425,7 +444,8 @@ class DPFrameRenderer:
             buf, bake_out, skey = self._dispatch(
                 rec["state"], rec["fbatch"], rec["grid"], skey, session,
                 rec.get("fkey"), rec.get("fkey_refs"),
-                prev_bake=prev_bake, reuse=reuse)
+                prev_bake=prev_bake, reuse=reuse,
+                payload=rec.get("payload", "f16"))
             budget, chunk_eff, cell_budget, prepass_shape, samp_budget = \
                 skey
             if prev_bake is not None and rec.get("fkey") is not None:
@@ -443,10 +463,11 @@ class DPFrameRenderer:
 
     def render_frame(self, state: TrainState, batch, grid=None,
                      image_shape: tuple[int, int] | None = None,
-                     session=None) -> dict[str, Any]:
+                     session=None, payload: str = "f16"
+                     ) -> dict[str, Any]:
         return self.finish_frame(self.render_frame_async(
             state, batch, grid=grid, image_shape=image_shape,
-            session=session))
+            session=session, payload=payload))
 
     def render_frames(self, state: TrainState, batches, grid=None,
                       image_shape: tuple[int, int] | None = None,

@@ -714,14 +714,15 @@ class AvatarModel:
             occ = max_pool3d(occ.astype(jnp.uint8)) > 0
         return occ
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 11))
     def _render_frame_fused(self, state: TrainState, batch, grid,
                             ray_budget: int, chunk: int,
                             cell_budget: int | None = None,
                             prepass_shape: tuple[int, int, int]
                             | None = None,
                             samp_budget: int | None = None,
-                            prev_bake=None, reuse=None):
+                            prev_bake=None, reuse=None,
+                            payload: str = "f16"):
         """ONE-dispatch full-frame render. Per-host-readback latency
         through the remote-TPU tunnel is ~33 ms while chained async
         dispatches cost ~2 ms (PERF.md), so the whole frame — deformer
@@ -1183,6 +1184,26 @@ class AvatarModel:
         # so rgb/depth/alpha/counter ship together at half width, with
         # n_hit/n_occ base-1024-digit-encoded in the extra row (f16 holds
         # integers <= 2048 exactly) — 1 fetch/frame instead of 6.
+        if payload == "u8":
+            # rgb+alpha quantized to u8 (4 B/ray vs 12): the animation /
+            # novel-view consumers write u8 PNGs anyway, and the tunnel
+            # fetch is the wall-clock bottleneck (12-110 MB/s, PERF.md) —
+            # a 540px frame drops 3.5 MB -> 1.17 MB. depth/counter are
+            # not shipped (unpack returns zeros); callers that need them
+            # (harness val stats, eval metrics) keep the f16 payload.
+            def digits8(v):
+                v = v.astype(jnp.int32)
+                return jnp.stack([v // 65536 % 256, v // 256 % 256,
+                                  v % 256])
+
+            extra8 = jnp.concatenate(
+                [digits8(n_hit), digits8(n_occ),
+                 jnp.zeros(2, jnp.int32)]).astype(jnp.uint8)
+            rgba = jnp.concatenate([out["rgb"], out["alpha"][:, None]],
+                                   axis=-1)
+            q = jnp.clip(jnp.round(rgba * 255.0), 0, 255) \
+                .astype(jnp.uint8)
+            return jnp.concatenate([q.reshape(-1), extra8]), bake_out
         img = jnp.concatenate(
             [out["rgb"], out["depth"][:, None], out["alpha"][:, None],
              out["counter"][:, None]], axis=-1)
@@ -1204,9 +1225,21 @@ class AvatarModel:
 
     @staticmethod
     def _unpack_frame(buf) -> tuple[dict, int, int]:
-        """Host-side unpack of the fused render's flat (n+1)*6 f16 buffer."""
+        """Host-side unpack of the fused render's flat buffer — (n+1)*6
+        f16 (default payload) or n*4+8 u8 (payload="u8"), told apart by
+        dtype."""
         import numpy as np
-        buf = np.asarray(buf, np.float32).reshape(-1, 6)
+        buf = np.asarray(buf)
+        if buf.dtype == np.uint8:
+            extra = buf[-8:].astype(np.int64)
+            n_hit = int(extra[0] * 65536 + extra[1] * 256 + extra[2])
+            n_occ = int(extra[3] * 65536 + extra[4] * 256 + extra[5])
+            q = buf[:-8].reshape(-1, 4).astype(np.float32) / 255.0
+            nq = q.shape[0]
+            return ({"rgb": q[:, :3], "alpha": q[:, 3],
+                     "depth": np.zeros(nq, np.float32),
+                     "counter": np.zeros(nq, np.int32)}, n_hit, n_occ)
+        buf = buf.astype(np.float32).reshape(-1, 6)
         extra = buf[-1].astype(np.int64)
         n_hit = int(extra[0] * 1024 ** 2 + extra[1] * 1024 + extra[2])
         n_occ = int(extra[3] * 1024 ** 2 + extra[4] * 1024 + extra[5])
@@ -1230,7 +1263,8 @@ class AvatarModel:
                      grid: DensityGridState | None = None,
                      image_shape: tuple[int, int] | None = None,
                      ray_budget_frac: float = 0.5,
-                     session: RenderSession | None = None
+                     session: RenderSession | None = None,
+                     payload: str = "f16"
                      ) -> dict[str, jax.Array]:
         """Full-frame inference (render_image_fast analog, DNeRF.py:72-97):
         test-grid build + one fused render dispatch + one host fetch.
@@ -1246,7 +1280,7 @@ class AvatarModel:
         """
         return self._finish_frame(self._render_frame_async(
             state, batch, chunk, prune_rays, grid, ray_budget_frac,
-            image_shape, session))
+            image_shape, session, payload))
 
     def _frame_key(self, state: TrainState, batch):
         """Frame-asset memo key: the warp cache / sigma table / auto test
@@ -1283,7 +1317,8 @@ class AvatarModel:
                             grid: DensityGridState | None = None,
                             ray_budget_frac: float = 0.5,
                             image_shape: tuple[int, int] | None = None,
-                            session: RenderSession | None = None):
+                            session: RenderSession | None = None,
+                            payload: str = "f16"):
         """Enqueue a full frame WITHOUT forcing a host sync; returns an
         in-flight record for ``_finish_frame`` — callers that render frame
         sequences overlap the fetch of frame i with the compute of frame
@@ -1353,7 +1388,8 @@ class AvatarModel:
         prev_bake, reuse = self._bake_memo(session, fkey)
         buf, bake_out, samp_budget = self._call_fused_size_hopped(
             state, fbatch, grid, budget, chunk_eff, cell_budget,
-            prepass_shape, samp_budget, prev_bake=prev_bake, reuse=reuse)
+            prepass_shape, samp_budget, prev_bake=prev_bake, reuse=reuse,
+            payload=payload)
         if bake_out is not None and fkey is not None:
             session.last_bake = (fkey, bake_out, fkey_refs)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
@@ -1361,7 +1397,7 @@ class AvatarModel:
                     cell_budget=cell_budget,
                     prepass_shape=prepass_shape,
                     samp_budget=samp_budget, chunk_eff=chunk_eff,
-                    session=session, fkey=fkey,
+                    session=session, fkey=fkey, payload=payload,
                     fkey_refs=fkey if fkey is None else fkey_refs)
 
     def _bake_memo(self, session: RenderSession, fkey):
@@ -1387,7 +1423,8 @@ class AvatarModel:
 
     def _call_fused_size_hopped(self, state, fbatch, grid, budget,
                                 chunk_eff, cell_budget, prepass_shape,
-                                samp_budget, prev_bake=None, reuse=None):
+                                samp_budget, prev_bake=None, reuse=None,
+                                payload: str = "f16"):
         """Dispatch the fused render, hopping the flat-stream sample
         budget past sizes the backend TPU compiler cannot compile.
 
@@ -1412,7 +1449,7 @@ class AvatarModel:
                 buf, bake_out = self._render_frame_fused(
                     state, fbatch, grid, budget, chunk_eff, cell_budget,
                     prepass_shape, samp_budget, prev_bake=prev_bake,
-                    reuse=reuse)
+                    reuse=reuse, payload=payload)
                 return buf, bake_out, samp_budget
             except Exception as e:  # noqa: BLE001 — filtered below
                 if samp_budget is None or not _is_backend_compiler_crash(e):
@@ -1427,7 +1464,7 @@ class AvatarModel:
             # failing the frame
             return self._call_fused_size_hopped(
                 state, fbatch, grid, budget, chunk_eff, cell_budget,
-                prepass_shape, samp0)
+                prepass_shape, samp0, payload=payload)
         raise RuntimeError(
             f"no compilable flat-stream size found near {samp_budget} "
             f"(16 hops tried)") from last
@@ -1491,7 +1528,8 @@ class AvatarModel:
             buf, bake_out, samp_budget = self._call_fused_size_hopped(
                 rec["state"], rec["fbatch"], rec["grid"], budget,
                 chunk_eff, cell_budget, rec["prepass_shape"], samp_budget,
-                prev_bake=prev_bake, reuse=reuse)
+                prev_bake=prev_bake, reuse=reuse,
+                payload=rec.get("payload", "f16"))
             if bake_out is not None and rec.get("fkey") is not None:
                 session.last_bake = (rec["fkey"], bake_out,
                                      rec.get("fkey_refs"))
@@ -1521,7 +1559,8 @@ class AvatarModel:
                       depth: int = 2,
                       ray_budget_frac: float = 0.5,
                       image_shape: tuple[int, int] | None = None,
-                      session: RenderSession | None = None):
+                      session: RenderSession | None = None,
+                      payload: str = "f16"):
         """Pipelined frame-sequence renderer (animate/novel_view/bench):
         keeps ``depth`` frames in flight so the ~33 ms host-fetch latency
         of frame i overlaps frame i+1's on-device compute (the TPU analog
@@ -1536,7 +1575,7 @@ class AvatarModel:
             inflight.append(self._render_frame_async(
                 state, batch, chunk=chunk, grid=grid,
                 ray_budget_frac=ray_budget_frac, image_shape=image_shape,
-                session=session))
+                session=session, payload=payload))
             if len(inflight) >= depth:
                 yield self._finish_frame(inflight.pop(0))
         for rec in inflight:

@@ -771,3 +771,50 @@ def test_multi_step_grouped_prefetch_roundtrip(seq_dir, toy_model):
     assert [g["idx"].shape[0] for g in got] == [2, 2, 1]
     np.testing.assert_allclose(np.asarray(got[1]["rgb"][0]),
                                np.asarray(fixed[2]["rgb"]), atol=1e-7)
+
+
+def test_u8_payload_matches_f16(seq_dir, toy_model):
+    """payload="u8" (quantized rgb+alpha fetch, 4 B/ray vs 12 — the
+    animate/novel_view/bench fetch path) must match the default f16
+    payload to u8 quantization (<= 0.5/255 per channel) and carry the
+    same n_hit/n_occ overflow counters through its 8-byte trailer."""
+    from instantavatar_tpu.deformers import SNARFDeformer
+    field = NGPField(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SNARFDeformer(toy_model, resolution=16, cano_pose="da_pose",
+                      knn_chunk=4096),
+        n_steps=32, k_cap=8, grid_size=16, noise_steps=0,
+        eval_sampling="flat", n_windows=12, eval_n_steps=16,
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=0,
+                          sampler=PatchSampler(num_patch=1, patch_size=16,
+                                               rng=np.random.default_rng(0)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+
+    out16 = avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48))
+    out8 = avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48),
+                               payload="u8")
+    # f16 itself quantizes (~2^-11 at 1.0); allow u8 half-step + f16 eps
+    assert np.abs(out8["rgb"] - out16["rgb"]).max() <= 0.5 / 255 + 1e-3
+    assert np.abs(out8["alpha"] - out16["alpha"]).max() <= 0.5 / 255 + 1e-3
+    # depth/counter are not shipped in u8 mode
+    assert out8["depth"].shape == out16["depth"].shape
+    assert (out8["counter"] == 0).all()
+
+    # the u8 trailer must decode the same overflow counters the f16
+    # extra row carries (digit encodings differ: base 256 vs 1024)
+    rec16 = avatar._render_frame_async(state, b, chunk=1024,
+                                       image_shape=(48, 48))
+    rec8 = avatar._render_frame_async(state, b, chunk=1024,
+                                      image_shape=(48, 48), payload="u8")
+    _, h16, o16 = avatar._unpack_frame(rec16["buf"])
+    _, h8, o8 = avatar._unpack_frame(rec8["buf"])
+    assert (h8, o8) == (h16, o16)
+    # and the u8 buffer really is ~3x smaller
+    assert np.asarray(rec8["buf"]).nbytes * 2.9 \
+        <= np.asarray(rec16["buf"]).nbytes

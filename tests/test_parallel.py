@@ -320,3 +320,12 @@ def test_dp_frame_renderer_production_loop(toy, tmp_path):
     assert len(dispatches) >= 2  # the overflow re-render actually fired
     np.testing.assert_allclose(out2["rgb"], np.asarray(ref0["rgb"]),
                                atol=2e-3)
+
+    # u8 payload (quantized rgb+alpha fetch) through the sharded loop:
+    # must match the f16 band render to u8 quantization
+    out_u8 = rend.render_frame(state, frames[0], grid=grid,
+                               image_shape=(48, 48), session=sess,
+                               payload="u8")
+    assert np.abs(out_u8["rgb"] - np.asarray(ref0["rgb"])).max() \
+        <= 0.5 / 255 + 2e-3
+    assert (out_u8["counter"] == 0).all()

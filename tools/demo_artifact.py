@@ -135,7 +135,7 @@ def main() -> None:
     for out in avatar.render_frames(
             state, warm,  # numpy batches: content-keyed bake reuse
             chunk=32768, depth=2, image_shape=val.image_shape,
-            session=sess):
+            session=sess, payload="u8"):
         pass
     t = time.perf_counter()
     for out in avatar.render_frames(
@@ -143,7 +143,7 @@ def main() -> None:
             turntable_batches(betas, train.smpl_params, val,
                               args.turn_frames),
             chunk=32768, depth=2, image_shape=val.image_shape,
-            session=sess):
+            session=sess, payload="u8"):
         frames.append(np.asarray(out["rgb"]))
     dt = time.perf_counter() - t
     fps = args.turn_frames / dt
