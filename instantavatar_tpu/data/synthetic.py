@@ -126,6 +126,12 @@ def _capsule_shade_jax(joints, p_idx, c_idx, albedo, lights, K,
     import jax
     import jax.numpy as jnp
 
+    # The capsule discriminant h = b^2 - a*c cancels ~0.56 - 0.56 down to
+    # the r^2*baba ~ 1e-4 scale; TPU default-bf16 matmuls (rel err ~1e-2)
+    # turn that into periodic phantom bands ("slinky" GT — the r4 quality
+    # plateau). Every contraction here must run at full f32 precision.
+    hi = jax.lax.Precision.HIGHEST
+
     u = (jnp.arange(W * ss) + 0.5) / ss - 0.5
     v = (jnp.arange(H * ss) + 0.5) / ss - 0.5
     uu, vv = jnp.meshgrid(u, v)
@@ -137,11 +143,11 @@ def _capsule_shade_jax(joints, p_idx, c_idx, albedo, lights, K,
     r = jnp.full((p0.shape[0],), radius)
     ba = p1 - p0
     oa = -p0
-    baba = jnp.einsum("bi,bi->b", ba, ba)
-    baoa = jnp.einsum("bi,bi->b", ba, oa)
-    oaoa = jnp.einsum("bi,bi->b", oa, oa)
-    bard = d @ ba.T
-    rdoa = d @ oa.T
+    baba = jnp.einsum("bi,bi->b", ba, ba, precision=hi)
+    baoa = jnp.einsum("bi,bi->b", ba, oa, precision=hi)
+    oaoa = jnp.einsum("bi,bi->b", oa, oa, precision=hi)
+    bard = jnp.einsum("ri,bi->rb", d, ba, precision=hi)
+    rdoa = jnp.einsum("ri,bi->rb", d, oa, precision=hi)
     a = baba[None] - bard ** 2
     b = baba[None] * rdoa - baoa[None] * bard
     c = (baba * oaoa - baoa ** 2 - r ** 2 * baba)[None]
@@ -153,8 +159,9 @@ def _capsule_shade_jax(joints, p_idx, c_idx, albedo, lights, K,
     t = jnp.where(cyl_ok, t_cyl, jnp.inf)
     for pc in (p0, p1):
         oc = -pc
-        bq = d @ oc.T
-        cq = jnp.einsum("bi,bi->b", oc, oc)[None] - (r ** 2)[None]
+        bq = jnp.einsum("ri,bi->rb", d, oc, precision=hi)
+        cq = jnp.einsum("bi,bi->b", oc, oc, precision=hi)[None] \
+            - (r ** 2)[None]
         hq = bq * bq - cq
         t_sph = -bq - jnp.sqrt(jnp.maximum(hq, 0.0))
         t = jnp.where((hq > 0) & (t_sph > 0), jnp.minimum(t, t_sph), t)
@@ -164,15 +171,16 @@ def _capsule_shade_jax(joints, p_idx, c_idx, albedo, lights, K,
     pa = d * jnp.where(hit, tmin, 1.0)[:, None]
     a0 = p0[bone]
     ax = p1[bone] - a0
-    yy2 = (jnp.einsum("ri,ri->r", pa - a0, ax)
-           / jnp.maximum(jnp.einsum("ri,ri->r", ax, ax), 1e-12))
+    yy2 = (jnp.einsum("ri,ri->r", pa - a0, ax, precision=hi)
+           / jnp.maximum(jnp.einsum("ri,ri->r", ax, ax, precision=hi),
+                         1e-12))
     foot = a0 + jnp.clip(yy2, 0.0, 1.0)[:, None] * ax
     nrm = pa - foot
     nrm = nrm / jnp.maximum(
         jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
     l_b = lights[bone]                                   # (R, 3) per-bone
     lam = 0.35 + 0.65 * jnp.maximum(
-        -jnp.einsum("ri,ri->r", nrm, l_b), 0.0)
+        -jnp.einsum("ri,ri->r", nrm, l_b, precision=hi), 0.0)
     img = albedo[c_idx][bone] * lam[:, None] * hit[:, None]
     img = img.reshape(H, ss, W, ss, 3).mean(axis=(1, 3))
     msk = hit.astype(jnp.float32).reshape(H, ss, W, ss).mean(axis=(1, 3))

@@ -130,3 +130,36 @@ def test_capsule_gt_shading_is_rotation_invariant():
     err = np.abs(i1[ys, xs] - bil)[ok2]
     assert ok2.sum() > 50
     assert err.mean() < 0.008, err.mean()  # ~bilinear resample noise
+
+
+def test_capsule_gt_jax_path_matches_numpy():
+    """The jitted capsule tracer (used for >=128px frames) must match the
+    f64 host tracer. On TPU the default-bf16 matmul precision corrupted
+    the capsule discriminant (b^2 - a*c cancels to the r^2*baba ~ 1e-4
+    scale) into periodic phantom bands — the r4 'slinky GT' quality
+    plateau; every contraction in _capsule_shade_jax is now pinned to
+    Precision.HIGHEST. This guards the path parity (and the pin, when
+    run on TPU)."""
+    import numpy as np
+
+    from instantavatar_tpu.body import smpl_forward, toy_smpl_model
+    from instantavatar_tpu.data.synthetic import render_capsule_frame
+
+    model = toy_smpl_model(bone_rings=2)
+    out = smpl_forward(model, np.zeros((1, 10), np.float32),
+                       np.zeros((1, 69), np.float32),
+                       np.zeros((1, 3), np.float32),
+                       np.array([[0, 0, 3.0]], np.float32))
+    joints = np.asarray(out.joints)[0]
+    A = np.asarray(out.A)[0, :, :3, :3]
+    parents = np.asarray(model.parents)
+    H = W = 96
+    f = float(W)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    ij, mj = render_capsule_frame(joints, parents, K, H, W, radii=0.07,
+                                  ss=3, use_jax=True, bone_rots=A)
+    inp, mn = render_capsule_frame(joints, parents, K, H, W, radii=0.07,
+                                   ss=3, use_jax=False, bone_rots=A)
+    assert mn.mean() > 0.02  # body actually covers pixels
+    assert np.abs(mj - mn).mean() < 1e-4
+    assert np.abs(ij - inp).mean() < 1e-4
