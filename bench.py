@@ -56,13 +56,17 @@ def main(animation: bool = False) -> None:
     from instantavatar_tpu.train import AvatarModel
     from instantavatar_tpu.train.model import RenderSession
 
+    import os
+    # ablation knobs (perf A/B only; production defaults when unset)
+    shared_corner = os.environ.get("BENCH_SHARED_CORNER", "1") != "0"
     body = toy_smpl_model(bone_rings=3)
     avatar = AvatarModel(
         body, VoxelTriplaneField(),
         SNARFDeformer(body, resolution=128, cano_pose="a_pose",
                       n_iters=6, cand_cap=2, n_init_active=4),
         n_steps=128, k_cap=8, grid_size=64,
-        eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0)
+        eval_n_steps=48, cache_n_cand=1, samples_per_ray=5.0,
+        shared_corner_eval=shared_corner)
 
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
     # opaque-body workload: bias the sigma head so the field is opaque

@@ -160,7 +160,7 @@ class AvatarModel:
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
-                 shared_corner_eval: bool = True,
+                 shared_corner_eval: bool = False,
                  n_windows: int = 48,
                  term_T: float | None = 1e-5,
                  samples_per_ray: float = 3.0,
@@ -214,6 +214,12 @@ class AvatarModel:
         # points spread millimetres); offsets just outside the shared
         # cell linearly extrapolate. Needs field.apply_shared; gated by
         # test_shared_corner_render parity + the quality bench.
+        # MEASURED NEGATIVE on v5e (bench.py A/B, 2026-08-19): despite
+        # 9x fewer gather rows the turntable reads 1.59M rays/s with it
+        # vs 1.96M without — the per-offset trilerp/extrapolation math
+        # and tile layouts cost more than the recovered gather time
+        # (same shape of result as the Pallas fused head, PERF.md).
+        # Default OFF; the path stays for narrower-HBM parts.
         self.shared_corner_eval = shared_corner_eval
         self.n_windows = n_windows
         # transmittance-terminated window selection (flat/windows modes):
