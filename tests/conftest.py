@@ -23,6 +23,12 @@ import jax  # noqa: E402  (import after env is set)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# XLA:CPU executable (de)serialization aborts on this host (AOT
+# machine-feature mismatch — "+prefer-no-scatter is not supported on the
+# host machine" → Fatal Python error in put_executable_and_time, seen
+# 2026-08-19 in test_cli_pipeline). The persistent compile cache is a
+# TPU-side optimization; keep it off for the CPU test matrix.
+jax.config.update("jax_enable_compilation_cache", False)
 
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}")
