@@ -57,8 +57,10 @@ def main(animation: bool = False) -> None:
     from instantavatar_tpu.train.model import RenderSession
 
     import os
-    # ablation knobs (perf A/B only; production defaults when unset)
-    shared_corner = os.environ.get("BENCH_SHARED_CORNER", "1") != "0"
+    # ablation knobs (perf A/B only). Unset means the PRODUCTION default:
+    # shared-corner eval OFF, matching AvatarModel (measured negative on
+    # v5e, commit 6973fbe — 1.59M vs 1.96M rays/s).
+    shared_corner = os.environ.get("BENCH_SHARED_CORNER", "0") != "0"
     body = toy_smpl_model(bone_rings=3)
     avatar = AvatarModel(
         body, VoxelTriplaneField(),

@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quality_bench import (BONE_RINGS, build_scene, make_flagship, psnr,
-                           render_val)
+from quality_bench import (BONE_RINGS, build_scene, make_flagship,
+                           masked_psnr, psnr, render_val)
 
 
 def turntable_batches(betas: np.ndarray, smpl_params: dict, ds,
@@ -91,6 +91,8 @@ def main() -> None:
     val = AvatarDataset(root, "val", start=args.train_frames,
                         end=args.train_frames + args.val_frames - 1)
     gt = [np.asarray(val[i]["rgb"], np.float32) for i in range(len(val))]
+    masks = [np.asarray(val[i]["alpha"], np.float32) > 0.5
+             for i in range(len(val))]
 
     body = toy_smpl_model(bone_rings=BONE_RINGS)
     # reduced=True is the production single-chip train config: the
@@ -120,9 +122,12 @@ def main() -> None:
             t_train = time.perf_counter() - t0
             imgs = render_val(avatar, state, val, args.size)
             p = float(np.mean([psnr(im, g) for im, g in zip(imgs, gt)]))
+            p_in = float(np.mean([masked_psnr(im, g, m)
+                                  for im, g, m in zip(imgs, gt, masks)]))
             curve.append({"epoch": epoch + 1,
                           "minutes": round(t_train / 60, 2),
-                          "psnr": round(p, 2)})
+                          "psnr": round(p, 2),
+                          "psnr_in_mask": round(p_in, 2)})
             print(json.dumps({"event": "val", **curve[-1]}), flush=True)
             t0 = time.perf_counter() - t_train
 
@@ -190,8 +195,9 @@ def main() -> None:
           f"Protocol: {result['protocol']}",
           f"Backend: {result['backend']}",
           "",
-          "| epoch | minutes | PSNR |", "|---|---|---|"]
-    md += [f"| {c['epoch']} | {c['minutes']} | {c['psnr']} |"
+          "| epoch | minutes | PSNR | in-mask PSNR |", "|---|---|---|---|"]
+    md += [f"| {c['epoch']} | {c['minutes']} | {c['psnr']} "
+           f"| {c.get('psnr_in_mask', '-')} |"
            for c in curve]
     md += ["",
            f"Novel-view turntable: **{result['novel_view_fps']} FPS** "

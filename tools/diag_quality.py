@@ -129,8 +129,7 @@ def main() -> None:
                 print(json.dumps(
                     {"event": "epoch", "epoch": epoch + 1,
                      "loss": float(losses["loss"]),
-                     "loss_rgb": float(losses.get("rgb",
-                                                  losses.get("loss_rgb", 0))),
+                     "loss_rgb": float(losses["mse_loss"]),
                      "minutes": round((time.perf_counter() - t0) / 60, 2)}),
                     flush=True)
         if args.save_state:
