@@ -124,7 +124,15 @@ def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
     through the tunnel) INSIDE the timed loop — the r4 battery's
     11.8 s/frame "single_chip_full" was exactly one such compile
     amortized over 8 frames. Pass 2 re-renders the same frames with
-    settled budgets; the r4 steady-state bench.py number reproduces."""
+    settled budgets; the r4 steady-state bench.py number reproduces.
+
+    payload="u8" matches bench.py's protocol exactly: the default f16
+    payload fetches 3.5 MB/frame through the ~12-110 MB/s tunnel, which
+    the depth-2 pipeline cannot hide — the first r5 battery run measured
+    the single-chip reference at 634 ms/frame (460k rays/s) against
+    bench.py's 158 ms (1.85M rays/s) purely from that fetch. Production
+    hosts don't pay the tunnel at all; u8 (1/3 the bytes) is the
+    protocol both numbers share."""
     from instantavatar_tpu.train.model import RenderSession
     session = RenderSession()
     frames = [{**batch, "global_orient":
@@ -133,12 +141,12 @@ def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
     # warmup pass: compile + budget learning over every orientation
     for _ in avatar.render_frames(state, frames, chunk=32768,
                                   grid=grid, depth=2, image_shape=shape,
-                                  session=session):
+                                  session=session, payload="u8"):
         pass
     t0 = time.perf_counter()
     for out in avatar.render_frames(state, frames, chunk=32768, grid=grid,
                                     depth=2, image_shape=shape,
-                                    session=session):
+                                    session=session, payload="u8"):
         assert out["rgb"].shape[0] == shape[0] * shape[1]
     return (time.perf_counter() - t0) / n_frames
 
