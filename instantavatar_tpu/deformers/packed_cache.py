@@ -90,11 +90,16 @@ def make_packed_cache_fns(cache_rows: jax.Array, grid_aabb: jax.Array,
 
         ``pts_all``: optional (Q, M, 3) pixel-offset variants of
         ``pts`` (which must be one of them — the block-center ray's
-        samples). Requires ``net_shared`` (field ``apply_shared``):
-        the Newton step runs per variant but the canonical field's
-        corner gathers are shared across the Q variants (they spread
-        millimetres in canonical space). Returns (Q, ...) leading
-        shapes instead of (M, ...)."""
+        samples). The Newton step runs per variant directly off the
+        (M, ...) row/center arrays via einsum — the rows are never
+        tiled to (Q*M, K*13) (the tile broadcast materialized ~76 MB
+        and cost ~8 ms/frame at 540px, xplane r4). With ``net_shared``
+        (field ``apply_shared``) the canonical field's corner gathers
+        are additionally shared across the Q variants (they spread
+        millimetres in canonical space; measured NEGATIVE on v5e,
+        PERF.md — default off); without it each variant gets the exact
+        per-point field eval. Returns (Q, ...) leading shapes instead
+        of (M, ...)."""
         M = pts.shape[0]
         r = rows.reshape(M, K, R)[:, :C]
         if centers is None:
@@ -112,11 +117,15 @@ def make_packed_cache_fns(cache_rows: jax.Array, grid_aabb: jax.Array,
             sigma = sigma.reshape(M, C)
         else:
             Q = pts_all.shape[0]
-            xc_ref = xc0 + jnp.einsum("mcrk,mk->mcr", Ji, pts - centers)
             xc = xc0[None] + jnp.einsum("mcrk,qmk->qmcr", Ji,
                                         pts_all - centers[None])
-            rgb, sigma = net_shared(xc_ref.reshape(M * C, 3),
-                                    xc.reshape(Q, M * C, 3))
+            if net_shared is not None:
+                xc_ref = xc0 + jnp.einsum("mcrk,mk->mcr", Ji,
+                                          pts - centers)
+                rgb, sigma = net_shared(xc_ref.reshape(M * C, 3),
+                                        xc.reshape(Q, M * C, 3))
+            else:
+                rgb, sigma = net_apply(xc.reshape(Q * M * C, 3))
             rgb = rgb.reshape(Q, M, C, 3)
             sigma = sigma.reshape(Q, M, C)
             val = val[None]

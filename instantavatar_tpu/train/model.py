@@ -161,6 +161,7 @@ class AvatarModel:
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
                  shared_corner_eval: bool = False,
+                 flat_tile_rows: bool = False,
                  n_windows: int = 48,
                  term_T: float | None = 1e-5,
                  samples_per_ray: float = 3.0,
@@ -221,6 +222,12 @@ class AvatarModel:
         # (same shape of result as the Pallas fused head, PERF.md).
         # Default OFF; the path stays for narrower-HBM parts.
         self.shared_corner_eval = shared_corner_eval
+        # flat eval's Newton step over the p^2 pixel offsets: False (the
+        # default) feeds the (M,)-shaped rows/centers straight into the
+        # offset einsum (packed_cache field_fn pts_all); True restores
+        # the r4 path that materialized (pp*S, K*13) row tiles (~76 MB,
+        # ~8 ms/frame at 540px, xplane r4) — kept for A/B only.
+        self.flat_tile_rows = flat_tile_rows
         self.n_windows = n_windows
         # transmittance-terminated window selection (flat/windows modes):
         # drop prepass samples whose estimated transmittance — from the
@@ -1135,6 +1142,12 @@ class AvatarModel:
                 # extrapolates against the shared corner rows. Also
                 # skips the (pp*S, K*13) row/center tile broadcasts
                 # (xplane r4: gathers 26.4 ms + tiles ~8 ms -> ~4 ms).
+                rgb_s, sigma_s, ok = pfield_fn(
+                    pts_q[qc], rows_blk, centers, pts_all=pts_q)
+            elif not self.flat_tile_rows:
+                # exact per-offset field eval WITHOUT tiling the rows:
+                # the offset Newton einsum reads the (S, K*13) rows once
+                # (packed_cache field_fn pts_all with net_shared=None)
                 rgb_s, sigma_s, ok = pfield_fn(
                     pts_q[qc], rows_blk, centers, pts_all=pts_q)
             else:

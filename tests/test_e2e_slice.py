@@ -385,6 +385,43 @@ def test_smpl_deformer_flat_cache_matches_dense(seq_dir, toy_model):
     assert psnr > 25.0, psnr
 
 
+def test_flat_no_tile_matches_tiled_rows(seq_dir, toy_model):
+    """The r5 default flat eval feeds the (S,)-shaped cache rows straight
+    into the per-pixel-offset Newton einsum (packed_cache field_fn
+    pts_all); it must reproduce the r4 path that materialized
+    (p^2*S, K*13) row tiles — same math, different layout (the tile
+    broadcast cost ~8 ms/frame at 540px, xplane r4)."""
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+
+    def make(tile):
+        return AvatarModel(
+            toy_model, field,
+            SMPLDeformer(toy_model, threshold=0.12, knn_chunk=4096),
+            n_steps=64, k_cap=16, grid_size=32, grid_update_interval=10,
+            noise_steps=0, eval_n_steps=64, eval_sampling="flat",
+            flat_tile_rows=tile, optimizer=optax.adam(5e-3))
+
+    avatar = make(False)
+    state = avatar.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+    # opaque-biased field: untrained but body-shaped workload (bench.py)
+    fp = state.params["field"]
+    state = state._replace(params={**state.params,
+                                   "field": fp._replace(
+                                       sigma_b=fp.sigma_b[:-1] + (
+                                           fp.sigma_b[-1].at[0].set(50.0),))})
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: jnp.asarray(v) for k, v in val[0].items()}
+    # image_shape 48x48 selects the p=3 block lattice -> 9 pixel offsets
+    img_new = avatar.render_frame(state, b, chunk=1024,
+                                  image_shape=(48, 48))["rgb"]
+    img_old = make(True).render_frame(state, b, chunk=1024,
+                                      image_shape=(48, 48))["rgb"]
+    assert np.isfinite(img_new).all() and np.isfinite(img_old).all()
+    np.testing.assert_allclose(img_new, img_old, atol=2e-3)
+
+
 def test_render_session_keys_budgets_by_resolution(seq_dir, toy_model,
                                                    tmp_path):
     """VERDICT r2 weak #5: budget hints must not live as hidden state on
