@@ -134,7 +134,10 @@ def build_avatar(cfg: Any, steps_per_epoch: int = 100):
         optimize_smpl=optimize_smpl,
         is_refine=is_refine,
         smpl_init=bool(mopt.get("smpl_init", False)),
-        train_warp_cache=bool(ropt.get("train_warp_cache", False)),
+        # default ON since the r5 on-device quality gate
+        # (artifacts/r5_warp_gate.jsonl); renderer.train_warp_cache=false
+        # restores the per-sample full search
+        train_warp_cache=bool(ropt.get("train_warp_cache", True)),
         loss_weights=loss_weights,
         lpips_fn=lpips_fn,
         optimizer=optimizer)

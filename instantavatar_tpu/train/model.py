@@ -156,7 +156,7 @@ class AvatarModel:
                  is_refine: bool = False,
                  smpl_init: bool = False,
                  use_warp_cache: bool = True,
-                 train_warp_cache: bool = False,
+                 train_warp_cache: bool = True,
                  cache_n_cand: int = 1,
                  cache_fused_probe: bool = False,
                  eval_sampling: str = "flat",
@@ -188,15 +188,18 @@ class AvatarModel:
         # cells (SNARF only; PERF.md). Exactness is restored per sample by
         # one cached-Newton step (J_inv rides in the cache row).
         self.use_warp_cache = use_warp_cache
-        # opt-in cached-search TRAINING (SNARF only): bake the per-cell
-        # warp cache inside the jitted step and train the field through
+        # cached-search TRAINING (SNARF only): bake the per-cell warp
+        # cache inside the jitted step and train the field through
         # cached-Newton correspondences — the per-sample inverse search
         # (N*k_cap samples x A lanes x n_iters row gathers, the step's
         # largest gather cost) collapses to cell_budget cells + ONE row
         # gather per sample. Pose gradients still flow via _grad_correct
         # at the cached correspondence; grid updates keep the exact
-        # full-search density query. Off by default pending a measured
-        # quality gate (tools/scaling_bench.py rows).
+        # full-search density query. Default ON since the on-device
+        # quality gate passed (tools/warp_cache_gate.py, v5e 264px
+        # 20 epochs: cached 34.71 dB vs full 34.53, step -39% —
+        # artifacts/r5_warp_gate.jsonl); train_warp_cache=False restores
+        # the per-sample full search (non-SNARF deformers ignore this).
         self.train_warp_cache = train_warp_cache
         # candidates the packed render evaluates per sample (1 = cell-level
         # max-baked-sigma select; cand_cap = per-sample argmax parity)

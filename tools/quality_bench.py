@@ -63,7 +63,7 @@ def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
                   lr: float = 1e-2, tiny: bool = False,
                   max_epochs: int | None = None,
                   steps_per_epoch: int = 100,
-                  train_warp_cache: bool = False):
+                  train_warp_cache: bool | None = None):
     """The production configuration (bench.py mirrors `reduced=True`);
     ``tiny`` shrinks the deformer/march for CPU smoke runs only. The
     optimizer is the reference-parity grouped Adam with the
@@ -83,12 +83,16 @@ def make_flagship(body, *, reduced: bool, eval_sampling: str = "flat",
         k_cap, n_steps, eval_n = 96, 256, 64
     if tiny:
         k_cap, n_steps, eval_n = 8, 32, 16
+    # None follows the AvatarModel default (cached-search training ON
+    # since the r5 on-device gate, artifacts/r5_warp_gate.jsonl); the
+    # gate tool pins each arm explicitly.
+    kw = ({} if train_warp_cache is None
+          else {"train_warp_cache": train_warp_cache})
     return AvatarModel(
         body, VoxelTriplaneField(), deformer,
         n_steps=n_steps, k_cap=k_cap, grid_size=32 if tiny else 64,
         eval_n_steps=eval_n, cache_n_cand=1, eval_sampling=eval_sampling,
-        samples_per_ray=5.0, noise_steps=500,
-        train_warp_cache=train_warp_cache,
+        samples_per_ray=5.0, noise_steps=500, **kw,
         optimizer=make_optimizer(lr, max_epochs=max_epochs,
                                  steps_per_epoch=steps_per_epoch))
 
