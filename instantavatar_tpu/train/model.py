@@ -164,6 +164,7 @@ class AvatarModel:
                  flat_tile_rows: bool = False,
                  n_windows: int = 48,
                  term_T: float | None = 1e-5,
+                 alpha_skip: float | None = 0.01,
                  samples_per_ray: float = 3.0,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
@@ -241,6 +242,17 @@ class AvatarModel:
         # of margin (1e-5 vs 1e-4) absorbs the cell-granular sigma
         # over-estimate. None disables.
         self.term_T = term_T
+        # selection-time analog of the reference composite_test's
+        # per-sample skip of alpha < 0.01 contributions
+        # (raymarcher.cu:222-227): drop prepass strides whose BAKED cell
+        # sigma yields alpha below this at the prepass step. On the
+        # opaque bench workload this is a no-op; on a real TRAINED
+        # avatar the occupancy grid keeps low-density fringe cells
+        # (threshold = clamp(mean, 0.01), density_grid.py:88) whose
+        # strides otherwise flood the flat stream — the r5 budget table
+        # measured 12k rays/s on the trained 540px capsule vs 1.85M on
+        # the toy before this cut. None disables.
+        self.alpha_skip = alpha_skip
         # "flat" sample budget: average kept samples per ray the static
         # stream is sized for (overflow transparently re-renders)
         self.samples_per_ray = samples_per_ray
@@ -897,6 +909,12 @@ class AvatarModel:
             qv = jnp.where(inside, qv, -1.0).reshape(z.shape)
             occ = qv >= 0.0
             tau = jnp.maximum(qv, 0.0) * step  # (nr, S) opt. depth/stride
+            if self.alpha_skip is not None:
+                # reference composite_test alpha < 0.01 skip at selection
+                # time: a stride whose baked-cell alpha is negligible
+                # cannot contribute — don't spend a field eval on it.
+                # (alpha = 1 - exp(-sigma*dt) < a  <=>  tau < -log(1-a))
+                occ = occ & (tau > -math.log1p(-self.alpha_skip))
             # Per-ray termination INDEX, not a per-sample mask product:
             # count samples whose exclusive prefix optical depth (via one
             # (nr,S)@(S,S) strict-lower MXU matmul) keeps estimated
