@@ -81,7 +81,7 @@ def main() -> None:
                                         session=sess):
             outs.append(out)
         dt = (time.perf_counter() - t0) / n_rep
-        img = outs[-1]["rgb"].reshape(args.size, args.size, 3)
+        img = np.asarray(outs[-1]["rgb"]).reshape(gt.shape)
         rec = {
             "event": name,
             "occ_frac": round(occ_frac, 4),
