@@ -784,10 +784,23 @@ class AvatarModel:
         cell_budget = cell_budget or self.cell_budget
         rbatch = self._resolve_batch(state.params, batch)
         dstate = self._prepare(state.deformer_cano, rbatch)
-        rays = Rays(o=rbatch["rays_o"], d=rbatch["rays_d"],
-                    near=rbatch["near"], far=rbatch["far"])
-        rays_s = self.deformer.transform_rays_w2s(dstate, rays)
-        n = rays_s.o.shape[0]
+        have_rays = "rays_o" in rbatch
+        if have_rays:
+            rays = Rays(o=rbatch["rays_o"], d=rbatch["rays_d"],
+                        near=rbatch["near"], far=rbatch["far"])
+            rays_s = self.deformer.transform_rays_w2s(dstate, rays)
+            n = rays_s.o.shape[0]
+        else:
+            # basis-only batch (flat mode): the host shipped the (4, 3)
+            # pinhole generator basis + scalar near/far instead of the
+            # full-resolution ray tensors (~13 MB/frame through the
+            # remote-TPU tunnel); the block-lattice prepass rays are
+            # reconstructed in-jit below and per-pixel dirs come from
+            # the basis in stage 5' as before.
+            if prepass_shape is None:
+                raise ValueError("basis-only batches need image_shape")
+            rays_s = None
+            n = prepass_shape[0] * prepass_shape[1]
         aabb = grid.aabb
         from ..render.raymarcher import (ray_aabb, render_rays,
                                          render_rays_probed, sample_z)
@@ -870,7 +883,38 @@ class AvatarModel:
         # ~p px * z / f ~ millimetres at body distance, far below the
         # occupancy dilation margin) — a p=3 subsample cuts the dominant
         # prepass gather volume 9x (xplane: 143 ms -> ~16 ms at 540px).
-        if prepass_shape is not None:
+        if prepass_shape is not None and not have_rays:
+            # reconstruct the p x p-subsampled block-lattice rays from the
+            # generator basis IN-JIT (world space, then the same w2s
+            # transform the full-res path applies): identical numerics to
+            # building the full make_ray_grid and striding [::p, ::p] —
+            # basis convention is d(x, y) = b0 + x*bx + y*by (rays.py).
+            Hs, Ws, p = prepass_shape
+            Hb, Wb = Hs // p, Ws // p
+            basis_w = rbatch["ray_basis"]
+            xs = jnp.arange(Wb, dtype=jnp.float32) * p
+            ys = jnp.arange(Hb, dtype=jnp.float32) * p
+            d_un = (basis_w[1][None, None]
+                    + xs[None, :, None] * basis_w[2][None, None]
+                    + ys[:, None, None] * basis_w[3][None, None])
+            d_w = (d_un / jnp.linalg.norm(d_un, axis=-1, keepdims=True)) \
+                .reshape(-1, 3)
+            nb_lat = Hb * Wb
+            # near/far ship as scalars (per-frame constants in every
+            # dataset, near_far_from_transl) — broadcast; [:1] also
+            # accepts a legacy (n,) array (constant per frame)
+            nr_w = jnp.broadcast_to(
+                jnp.asarray(rbatch["near"], jnp.float32).reshape(-1)[:1],
+                (nb_lat,))
+            fr_w = jnp.broadcast_to(
+                jnp.asarray(rbatch["far"], jnp.float32).reshape(-1)[:1],
+                (nb_lat,))
+            rays_blk = self.deformer.transform_rays_w2s(
+                dstate, Rays(o=jnp.broadcast_to(basis_w[0], (nb_lat, 3)),
+                             d=d_w, near=nr_w, far=fr_w))
+            o_sub, d_sub = rays_blk.o, rays_blk.d
+            nr_sub, fr_sub = rays_blk.near, rays_blk.far
+        elif prepass_shape is not None:
             Hs, Ws, p = prepass_shape
             o_sub = rays_s.o.reshape(Hs, Ws, 3)[::p, ::p].reshape(-1, 3)
             d_sub = rays_s.d.reshape(Hs, Ws, 3)[::p, ::p].reshape(-1, 3)
@@ -888,6 +932,10 @@ class AvatarModel:
         use_flat = (self.eval_sampling == "flat" and use_cache
                     and samp_budget is not None)
         use_windows_mode = (self.eval_sampling == "windows" and use_cache)
+        if not have_rays and not use_flat:
+            raise ValueError(
+                "basis-only batches render through the flat path only "
+                "(rays_o/rays_d required otherwise)")
         if (use_flat or use_windows_mode) and want_term:
             # window selection samples the sigma validity table (see the
             # bake above): ONE f32 gather yields cache validity AND the
@@ -1380,9 +1428,9 @@ class AvatarModel:
             fkey = (fkey, id(grid)) if fkey is not None else None
             if fkey is not None:
                 fkey_refs = fkey_refs + (grid,)
-        n = batch["rays_o"].shape[0]
-        fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
-                  for k, v in batch.items() if k not in ("rgb", "alpha")}
+        import numpy as _np
+        n = (batch["rays_o"].shape[0] if "rays_o" in batch
+             else image_shape[0] * image_shape[1])
         prepass_shape = None
         if image_shape is not None:
             H, W = image_shape
@@ -1393,6 +1441,35 @@ class AvatarModel:
                     if H % p == 0 and W % p == 0:
                         prepass_shape = (H, W, p)
                         break
+        # host-batch slimming: in flat mode with a generator basis, the
+        # full-res ray tensors are pure redundancy — the fused program
+        # reconstructs block rays from the (4, 3) basis and stage 5'
+        # already computes per-pixel dirs from it. Shipping them anyway
+        # cost ~13 MB/frame of host->device tunnel traffic at 540px.
+        # Applied to HOST (numpy) batches only: device-resident batches
+        # upload nothing, and their near/far may not be ours to reduce.
+        slim = (prepass_shape is not None and "ray_basis" in batch
+                and self.eval_sampling == "flat" and self.use_warp_cache
+                and hasattr(self.deformer, "bake_packed_cache")
+                and isinstance(batch.get("near"), _np.ndarray)
+                and isinstance(batch.get("rays_o"), _np.ndarray))
+        fbatch = {}
+        for k, v in batch.items():
+            if k in ("rgb", "alpha"):
+                continue
+            if slim:
+                if k in ("rays_o", "rays_d"):
+                    continue
+                if k == "near":
+                    v = _np.float32(_np.min(v))
+                elif k == "far":
+                    v = _np.float32(_np.max(v))
+                elif k == "bg_color" and isinstance(v, _np.ndarray) \
+                        and v.size > 3:
+                    flat_bg = v.reshape(-1, 3)
+                    if bool((flat_bg == flat_bg[:1]).all()):
+                        v = flat_bg[0].copy()
+            fbatch[k] = jnp.asarray(v) if hasattr(v, "shape") else v
         if prune_rays:
             budget, chunk_eff = self._round_budget(
                 max(int(n * ray_budget_frac), 1), chunk)
@@ -1422,9 +1499,14 @@ class AvatarModel:
         # (+15%, 4096-granular) sizes this frame's bake — the default
         # G^3/8 budget padded the bake's Broyden/voxel_J work ~40%
         # (xplane r2); animation poses change n_occ slowly and overflow
-        # transparently re-renders
+        # transparently re-renders. self.cell_budget is the frame-0 PRIOR
+        # only — the learned hint may exceed it up to the whole grid: a
+        # trained avatar's fringe cells routinely push n_occ past G^3/8,
+        # and capping the hint forced a cell-overflow DOUBLE render (+ a
+        # forced rebake) on EVERY frame (diag r5: 38228 occupied cells vs
+        # the 32768 cap at 540px).
         cell_budget = min(session.cell_budget.get((n, prepass_shape))
-                          or self.cell_budget, self.cell_budget)
+                          or self.cell_budget, self.grid_size ** 3)
         prev_bake, reuse = self._bake_memo(session, fkey)
         buf, bake_out, samp_budget = self._call_fused_size_hopped(
             state, fbatch, grid, budget, chunk_eff, cell_budget,
@@ -1476,7 +1558,8 @@ class AvatarModel:
         chunk multiple renders identically; bad sizes are remembered
         process-wide (_BAD_FUSED_SIZES) so each costs at most one failed
         compile per process."""
-        n = fbatch["rays_o"].shape[0]
+        n = (fbatch["rays_o"].shape[0] if "rays_o" in fbatch
+             else prepass_shape[0] * prepass_shape[1])
         _load_bad_sizes()
         samp0 = samp_budget
         last = None
@@ -1524,7 +1607,9 @@ class AvatarModel:
         parity test). Each pass resizes from the latest true counts, so
         the loop converges in <= 2 extra renders."""
         out, n_hit, n_occ = self._unpack_frame(rec["buf"])
-        n = rec["fbatch"]["rays_o"].shape[0]
+        fb = rec["fbatch"]
+        n = (fb["rays_o"].shape[0] if "rays_o" in fb
+             else rec["prepass_shape"][0] * rec["prepass_shape"][1])
         session, skey = rec["session"], (n, rec["prepass_shape"])
         budget = rec["budget"]
         chunk_eff = rec.get("chunk_eff", min(rec["chunk"], budget))
@@ -1541,7 +1626,7 @@ class AvatarModel:
                 cur = table.get(skey)
                 table[skey] = want if cur is None else max(cur, want)
             _hw(session.cell_budget,
-                min(self.cell_budget,
+                min(self.grid_size ** 3,
                     max(4096, -(-int(n_occ * 1.15) // 4096) * 4096)))
             if samp_budget is not None:
                 _hw(session.samp_budget, max(8192, int(n_hit * 1.2)))

@@ -385,6 +385,65 @@ def test_smpl_deformer_flat_cache_matches_dense(seq_dir, toy_model):
     assert psnr > 25.0, psnr
 
 
+def test_basis_only_batch_matches_full_rays(seq_dir, toy_model):
+    """r5 host-traffic fix: in flat mode a numpy full-image batch is
+    slimmed to the (4, 3) generator basis + scalar near/far (the ray
+    tensors cost ~13 MB/frame of tunnel upload at 540px), and the fused
+    program reconstructs the block-lattice prepass rays in-jit. The
+    slimmed render must match the full-ray render."""
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SMPLDeformer(toy_model, threshold=0.12, knn_chunk=4096),
+        n_steps=64, k_cap=16, grid_size=32, grid_update_interval=10,
+        noise_steps=0, use_warp_cache=True,
+        eval_n_steps=64, n_windows=24, eval_sampling="flat",
+        optimizer=optax.adam(5e-3))
+    train = AvatarDataset(seq_dir, "train", start=0, end=3,
+                          sampler=PatchSampler(num_patch=4, patch_size=16,
+                                               ratio_mask=1.0,
+                                               rng=np.random.default_rng(9)))
+    state = avatar.init(jax.random.PRNGKey(0), train.smpl_params["betas"])
+    key = jax.random.PRNGKey(23)
+    for i in range(25):
+        batch = {k: jnp.asarray(v) for k, v in train[i % len(train)].items()}
+        key, sub = jax.random.split(key)
+        state, _ = avatar.step(state, batch, sub)
+
+    val = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b_np = {k: v for k, v in val[0].items()}          # host numpy batch
+    b_dev = {k: jnp.asarray(v) for k, v in val[0].items()}
+
+    # the async record proves the numpy batch was actually slimmed
+    rec = avatar._render_frame_async(state, b_np, chunk=1024,
+                                     image_shape=(48, 48))
+    assert "rays_o" not in rec["fbatch"] and "rays_d" not in rec["fbatch"]
+    assert rec["fbatch"]["near"].ndim == 0
+    assert rec["fbatch"]["bg_color"].shape == (3,)
+    img_slim = avatar._finish_frame(rec)["rgb"]
+
+    img_full = avatar.render_frame(state, b_dev, chunk=1024,
+                                   image_shape=(48, 48))["rgb"]
+    assert np.isfinite(img_slim).all() and np.isfinite(img_full).all()
+    mse = float(np.mean((np.asarray(img_slim) - np.asarray(img_full)) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+    # basis-only batches refuse non-flat paths loudly
+    b_basis_only = {k: v for k, v in b_np.items()
+                    if k not in ("rays_o", "rays_d")}
+    avatar2 = AvatarModel(
+        toy_model, field,
+        SMPLDeformer(toy_model, threshold=0.12, knn_chunk=4096),
+        n_steps=64, k_cap=16, grid_size=32, noise_steps=0,
+        use_warp_cache=True, eval_n_steps=64, eval_sampling="windows",
+        optimizer=optax.adam(5e-3))
+    with pytest.raises(ValueError, match="flat"):
+        avatar2.render_frame(state, b_basis_only, chunk=1024,
+                             image_shape=(48, 48))
+
+
 def test_flat_no_tile_matches_tiled_rows(seq_dir, toy_model):
     """The r5 default flat eval feeds the (S,)-shaped cache rows straight
     into the per-pixel-offset Newton einsum (packed_cache field_fn

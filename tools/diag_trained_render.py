@@ -1,18 +1,25 @@
-"""Why is the flat render slow on a TRAINED avatar? (r5 finding)
+"""Trained-avatar flat-render throughput (r5 diagnosis tool).
 
-quality_bench's r5 budget table measured the production flat render at
-~12k rays/s on the trained 540px capsule avatar while bench.py measures
-1.85M rays/s on the opaque-biased toy — a 150x gap with no overflow
-warnings. This tool loads the trained state quality_bench saved
-(--save-state) and dissects one val frame:
+History: quality_bench's r5 budget table first measured the production
+flat render at ~12k rays/s on the trained 540px capsule avatar while
+bench.py measured 1.85M rays/s on the opaque-biased toy. The xplane
+profile showed the DEVICE program at ~308 ms/frame — the 150x gap was
+host-side, two stacked pathologies (both fixed):
 
-  * test-grid occupancy fraction (fat grid => every block survives the
-    prepass);
-  * n_occ (occupied cells baked) and n_hit (kept block samples) from the
-    frame report vs the samp_budget the session settled at;
-  * per-frame wall time at each candidate fix (term_T, grid threshold).
+  1. the state pytree loaded from --save-state's pickle is NUMPY (720 MB
+     at the production config) — every dispatch re-uploaded the whole
+     model through the remote-TPU tunnel (~8 s/frame). Fixed here with
+     jax.device_put, and worth knowing for any tool that unpickles a
+     state.
+  2. the session cell-budget hint was CAPPED at self.cell_budget
+     (G^3/8 = 32768), while the trained grid keeps 38228 occupied cells —
+     a cell-overflow DOUBLE render (+ forced rebake) on every frame.
+     Fixed in model.py: the hint may grow to G^3.
 
-Run on the real TPU after quality_bench:
+This tool measures the steady-state frame time on the trained state and
+prints per-config JSON rows (f16 and u8 payloads, same-pose bake reuse).
+
+Run on the real TPU after quality_bench --save-state:
   python tools/diag_trained_render.py --state /tmp/measure_r5/trained_540.pkl
 """
 from __future__ import annotations
@@ -49,6 +56,12 @@ def main() -> None:
 
     with open(args.state, "rb") as f:
         state = pickle.load(f)
+    # the pickle holds a HOST (numpy) pytree — 720 MB at the production
+    # config. Left as numpy, EVERY dispatch re-uploads all of it through
+    # the remote-TPU tunnel (~8 s/frame measured r5, the root cause of
+    # the 13k rays/s "trained avatar pathology"); pin it on device once.
+    state = jax.device_put(state)
+    jax.block_until_ready(jax.tree.leaves(state))
 
     val = AvatarDataset(Path(args.scene) / f"{args.size}px", "val",
                         start=args.train_frames, end=args.train_frames)
@@ -57,26 +70,49 @@ def main() -> None:
     b = {k: v for k, v in val[0].items() if k not in ("rgb", "alpha")}
 
     body = toy_smpl_model(bone_rings=BONE_RINGS)
+    avatar = make_flagship(body, reduced=True, eval_sampling="flat")
 
-    def probe(name, **overrides):
-        avatar = make_flagship(body, reduced=True, eval_sampling="flat")
-        for k, v in overrides.items():
-            setattr(avatar, k, v)
+    def probe(name, payload="f16", spin=False, n_rep=6):
         sess = RenderSession()
-        # test-grid stats (the same grid render_frame builds per frame)
-        st = state
-        grid = avatar.build_test_grid(st, b)
+        grid = avatar.build_test_grid(state, b)
         occ_frac = float(np.asarray(grid.occupancy).mean())
-        # warm 2, time 3
+
+        def batches(k):
+            for i in range(k):
+                if not spin:
+                    yield b
+                elif spin == "pose":
+                    # pose-VARYING (animate.py workload): the warp-cache
+                    # bake cannot be reused, so each frame pays a rebake
+                    bi = dict(b)
+                    bp = np.asarray(b["body_pose"], np.float32).copy()
+                    bp[3] += 0.02 * (i + 1)
+                    bi["body_pose"] = bp
+                    yield bi
+                else:
+                    # turntable (novel_view workload): orientation spins,
+                    # bake/grid reused via the pose-keyed frame memo
+                    bi = dict(b)
+                    bi["global_orient"] = np.asarray(
+                        b["global_orient"], np.float32) \
+                        + np.array([0, 0.1 * (i + 1), 0], np.float32)
+                    yield bi
+
         outs = []
-        for out in avatar.render_frames(st, [b] * 2, chunk=32768, depth=2,
-                                        image_shape=(args.size, args.size),
-                                        session=sess):
-            outs.append(out)
+        # TWO warm waves: wave 1 learns the session budgets (and compiles
+        # the prior-sized program); wave 2 compiles the budget-settled
+        # program. A single wave left the settled program's ~2 min compile
+        # inside the timed window (measured r5: 14.6 s/frame reported for
+        # a 96 ms/frame steady state).
+        for _ in range(2):
+            for out in avatar.render_frames(
+                    state, batches(2), chunk=32768, depth=2,
+                    payload=payload, image_shape=(args.size, args.size),
+                    session=sess):
+                outs.append(out)
         t0 = time.perf_counter()
-        n_rep = 3
-        for out in avatar.render_frames(st, [b] * n_rep, chunk=32768,
-                                        depth=2,
+        for out in avatar.render_frames(state, batches(n_rep), chunk=32768,
+                                        depth=2, payload=payload,
                                         image_shape=(args.size, args.size),
                                         session=sess):
             outs.append(out)
@@ -90,16 +126,18 @@ def main() -> None:
             "cell_budget": {str(k): v for k, v in sess.cell_budget.items()},
             "ms_per_frame": round(dt * 1e3, 1),
             "rays_per_sec": round(args.size ** 2 / dt),
-            "psnr": round(psnr(img, gt), 2),
-            "psnr_in_mask": round(masked_psnr(img, gt, mask), 2),
+            "fps": round(1.0 / dt, 2),
         }
+        if not spin:  # spun frames don't match the fixed-view GT
+            rec["psnr"] = round(psnr(img, gt), 2)
+            rec["psnr_in_mask"] = round(masked_psnr(img, gt, mask), 2)
         print(json.dumps(rec), flush=True)
         return rec
 
-    probe("bench_flat_asis")
-    # candidate fixes, cheapest first
-    probe("term_T_1e-4", term_T=1e-4)          # reference early-out parity
-    probe("term_T_1e-3", term_T=1e-3)
+    probe("flat_f16_same_pose")
+    probe("flat_u8_same_pose", payload="u8")
+    probe("flat_u8_turntable_spin", payload="u8", spin=True)
+    probe("flat_u8_pose_varying", payload="u8", spin="pose")
 
 
 if __name__ == "__main__":

@@ -133,6 +133,9 @@ def main() -> None:
     ap.add_argument("--save-state", type=str, default="",
                     help="pickle the trained state pytree here (lets "
                     "render-config sweeps run without retraining)")
+    ap.add_argument("--load-state", type=str, default="",
+                    help="skip training: unpickle a state from "
+                    "--save-state and run only the eval-budget table")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -176,8 +179,19 @@ def main() -> None:
     # reduced render read ~1.5 dB below full_dense on the same state)
     eval_avatar = make_flagship(body, reduced=False,
                                 eval_sampling="dense", tiny=args.tiny)
-    state = avatar.init(jax.random.PRNGKey(0),
-                        train.smpl_params["betas"])
+    if args.load_state:
+        import pickle
+        with open(args.load_state, "rb") as f:
+            state = pickle.load(f)
+        # the pickle is a HOST (numpy) pytree — 720 MB at the production
+        # config; left as numpy every dispatch re-uploads it through the
+        # remote-TPU tunnel (~8 s/frame, the r5 "trained avatar
+        # pathology"). Pin on device once.
+        state = jax.device_put(state)
+        jax.block_until_ready(jax.tree.leaves(state))
+    else:
+        state = avatar.init(jax.random.PRNGKey(0),
+                            train.smpl_params["betas"])
 
     from instantavatar_tpu.utils.prefetch import DevicePrefetcher
     prefetcher = DevicePrefetcher(train.__getitem__)
@@ -185,7 +199,7 @@ def main() -> None:
     t0 = time.perf_counter()
     curve = []
     step = 0
-    for epoch in range(args.epochs):
+    for epoch in range(0 if args.load_state else args.epochs):
         for batch in prefetcher.iterate(range(len(train))):
             key, sub = jax.random.split(key)
             state, losses = avatar.step(state, batch, sub, step=step)
