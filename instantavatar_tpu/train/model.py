@@ -155,6 +155,7 @@ class AvatarModel:
                  optimize_smpl: bool = False,
                  is_refine: bool = False,
                  smpl_init: bool = False,
+                 eval_grid: str = "density",
                  use_warp_cache: bool = True,
                  train_warp_cache: bool = True,
                  cache_n_cand: int = 1,
@@ -185,6 +186,12 @@ class AvatarModel:
         # smpl_init branch)
         self.smpl_init = smpl_init
         self.grid_update_interval = 1 if smpl_init else grid_update_interval
+        # per-frame EVAL grid source: "density" = 5-pass jittered density
+        # sweep (reference test-grid semantics, density_grid.py:94-110);
+        # "smpl_shell" = posed-vertex shell (reference smpl_init,
+        # density_grid.py:53-75) — ~100x cheaper per NEW pose, the
+        # animation-path default candidate (gate: diag_trained_render)
+        self.eval_grid = eval_grid
         # eval acceleration: per-frame packed inverse-warp bake on occupied
         # cells (SNARF only; PERF.md). Exactness is restored per sample by
         # one cached-Newton step (J_inv rides in the cache row).
@@ -712,6 +719,37 @@ class AvatarModel:
             self._density_fn(field_params, state.center, state.scale,
                              state.deformer_cano, dstate, eval_mode=True),
             jax.random.PRNGKey(0), self.grid_size)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def build_pose_grid(self, state: TrainState, batch
+                        ) -> DensityGridState:
+        """Per-pose test grid from the POSED BODY SHELL instead of a
+        density sweep: cells within max(2 cm, half a cell diagonal) of a
+        posed vertex (the reference's smpl_init semantics,
+        density_grid.py:53-75). The density sweep runs the full SNARF
+        search over 5 x G^3 jittered points (~0.8 s/pose at the
+        production config, the dominant cost of the pose-varying render
+        path measured r5); this is one KNN against the ~1k toy / 6.9k
+        SMPL vertices — milliseconds on the MXU. Conservative for bodies
+        whose learned surface hugs the SMPL mesh (shell thickness covers
+        the offsets the deformer itself can express); gate any default
+        flip with tools/diag_trained_render.py's shell-vs-density rows."""
+        from ..ops.knn import knn_points
+        rbatch = self._resolve_batch(state.params, batch)
+        dstate = self._prepare(state.deformer_cano, rbatch)
+        aabb = self.deformer.bbox_deformed(dstate)
+        G = self.grid_size
+        idxs = (jnp.arange(G) + 0.5) / G
+        zz, yy, xx = jnp.meshgrid(idxs, idxs, idxs, indexing="ij")
+        cells = (jnp.stack([zz, yy, xx], -1).reshape(-1, 3)
+                 * (aabb[1] - aabb[0]) + aabb[0])
+        d2, _ = knn_points(cells, dstate.verts_smpl, k=1, chunk=32768)
+        thr = jnp.maximum(0.02,
+                          0.5 * jnp.linalg.norm((aabb[1] - aabb[0]) / G))
+        occ = (d2[:, 0] < thr ** 2).reshape(G, G, G)
+        return DensityGridState(
+            density_cached=jnp.where(occ, 100.0 * 4.6, 0.0),
+            occupancy=occ, aabb=aabb)
 
     def _frame_grid(self, state: TrainState, batch):
         if self.smpl_init:
@@ -1419,7 +1457,9 @@ class AvatarModel:
                     and session.last_grid[0] == fkey:
                 grid = session.last_grid[1]
             else:
-                grid = self.build_test_grid(state, batch)
+                grid = (self.build_pose_grid(state, batch)
+                        if self.eval_grid == "smpl_shell"
+                        else self.build_test_grid(state, batch))
                 if fkey is not None:
                     # refs pin the id()-keyed objects until the next
                     # compare (an id can recycle once its object dies)

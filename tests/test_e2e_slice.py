@@ -444,6 +444,41 @@ def test_basis_only_batch_matches_full_rays(seq_dir, toy_model):
                              image_shape=(48, 48))
 
 
+def test_build_pose_grid_shell(seq_dir, toy_model):
+    """build_pose_grid (r5): posed-vertex shell eval grid (reference
+    smpl_init semantics, density_grid.py:53-75) — ~100x cheaper per new
+    pose than the 5-pass density sweep. Must cover the posed vertices,
+    stay sparse, and render finite frames via eval_grid='smpl_shell'."""
+    field = NGPField(grid=HashGridConfig(n_levels=8, log2_hashmap_size=13,
+                                         base_resolution=4,
+                                         per_level_scale=1.6))
+    avatar = AvatarModel(
+        toy_model, field,
+        SMPLDeformer(toy_model, threshold=0.12, knn_chunk=4096),
+        n_steps=64, k_cap=16, grid_size=32, noise_steps=0,
+        use_warp_cache=True, eval_n_steps=64, eval_sampling="flat",
+        eval_grid="smpl_shell", optimizer=optax.adam(5e-3))
+    ds = AvatarDataset(seq_dir, "val", start=0, end=0)
+    b = {k: v for k, v in ds[0].items() if k not in ("rgb", "alpha")}
+    state = avatar.init(jax.random.PRNGKey(0), ds.smpl_params["betas"])
+
+    grid = avatar.build_pose_grid(state, b)
+    occ = np.asarray(grid.occupancy)
+    frac = float(occ.mean())
+    assert 0.0 < frac < 0.4, frac
+    # every posed vertex's cell is occupied
+    dstate = avatar._prepare(state.deformer_cano, b)
+    verts = np.asarray(dstate.verts_smpl)
+    aabb = np.asarray(grid.aabb)
+    G = avatar.grid_size
+    ijk = np.clip(((verts - aabb[0]) / (aabb[1] - aabb[0]) * G), 0,
+                  G - 1).astype(int)
+    assert occ[ijk[:, 0], ijk[:, 1], ijk[:, 2]].all()
+    # the render path picks the shell grid via eval_grid
+    out = avatar.render_frame(state, b, chunk=1024, image_shape=(48, 48))
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
 def test_flat_no_tile_matches_tiled_rows(seq_dir, toy_model):
     """The r5 default flat eval feeds the (S,)-shaped cache rows straight
     into the per-pixel-offset Newton einsum (packed_cache field_fn

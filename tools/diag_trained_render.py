@@ -72,9 +72,13 @@ def main() -> None:
     body = toy_smpl_model(bone_rings=BONE_RINGS)
     avatar = make_flagship(body, reduced=True, eval_sampling="flat")
 
-    def probe(name, payload="f16", spin=False, n_rep=6):
+    def probe(name, payload="f16", spin=False, n_rep=6,
+              eval_grid="density"):
+        avatar.eval_grid = eval_grid
         sess = RenderSession()
-        grid = avatar.build_test_grid(state, b)
+        grid = (avatar.build_pose_grid(state, b)
+                if eval_grid == "smpl_shell"
+                else avatar.build_test_grid(state, b))
         occ_frac = float(np.asarray(grid.occupancy).mean())
 
         def batches(k):
@@ -138,6 +142,12 @@ def main() -> None:
     probe("flat_u8_same_pose", payload="u8")
     probe("flat_u8_turntable_spin", payload="u8", spin=True)
     probe("flat_u8_pose_varying", payload="u8", spin="pose")
+    # smpl_shell eval grid (build_pose_grid): the same-pose row gates
+    # quality (PSNR delta vs the density rows above), the pose-varying
+    # row measures the animation-path speedup
+    probe("shell_u8_same_pose", payload="u8", eval_grid="smpl_shell")
+    probe("shell_u8_pose_varying", payload="u8", spin="pose",
+          eval_grid="smpl_shell")
 
 
 if __name__ == "__main__":

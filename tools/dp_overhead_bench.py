@@ -151,7 +151,85 @@ def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
     return (time.perf_counter() - t0) / n_frames
 
 
+def build_trained(state_path: str, scene: str, train_frames: int = 60):
+    """The trained 540px capsule avatar (quality_bench --save-state) —
+    the honest per-band workload: real occupancy (38k cells), real
+    transmittance-terminated spans."""
+    import pickle
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from quality_bench import BONE_RINGS, make_flagship
+
+    from instantavatar_tpu.body import toy_smpl_model
+    from instantavatar_tpu.data import AvatarDataset
+
+    with open(state_path, "rb") as f:
+        state = pickle.load(f)
+    state = jax.device_put(state)  # the pickle is a 720 MB numpy pytree
+    jax.block_until_ready(jax.tree.leaves(state))
+    body = toy_smpl_model(bone_rings=BONE_RINGS)
+    avatar = make_flagship(body, reduced=True, eval_sampling="flat")
+    val = AvatarDataset(Path(scene) / "540px", "val",
+                        start=train_frames, end=train_frames)
+    b = {k: v for k, v in val[0].items() if k not in ("rgb", "alpha")}
+    grid = avatar.build_test_grid(state, b)
+    np.asarray(grid.occupancy)
+    return avatar, state, grid, b
+
+
+def trained_band_batch(b: dict, y0: int, h: int):
+    """Basis-only batch for rows [y0, y0+h): b0' = b0 + y0*by, scalar
+    near/far — exactly the per-band view DPFrameRenderer shards, without
+    materializing ray tensors (the fused program reconstructs them
+    in-jit since r5)."""
+    basis = np.asarray(b["ray_basis"], np.float32)
+    shifted = np.stack([basis[0], basis[1] + y0 * basis[3],
+                        basis[2], basis[3]])
+    out = {k: v for k, v in b.items()
+           if k not in ("rays_o", "rays_d", "near", "far", "bg_color")}
+    out["ray_basis"] = shifted
+    out["near"] = np.float32(np.min(b["near"]))
+    out["far"] = np.float32(np.max(b["far"]))
+    out["bg_color"] = np.ones(3, np.float32)
+    return out
+
+
+def run_trained(state_path: str, scene: str) -> None:
+    avatar, state, grid, b = build_trained(state_path, scene)
+    full = trained_band_batch(b, 0, H_FULL)
+    t_full = time_turntable(avatar, state, grid, full, (H_FULL, W))
+    print(json.dumps({"event": "trained_single_chip_full",
+                      "ms_per_frame": round(t_full * 1e3, 1),
+                      "rays_per_sec": round(H_FULL * W / t_full)}),
+          flush=True)
+    y0 = (N_CHIP // 2 - 1) * H_BAND
+    band = trained_band_batch(b, y0, H_BAND)
+    t_band = time_turntable(avatar, state, grid, band, (H_BAND, W))
+    print(json.dumps({"event": "trained_per_chip_band",
+                      "band_rows": H_BAND,
+                      "ms_per_frame": round(t_band * 1e3, 1)}), flush=True)
+    fps = 1.0 / t_band
+    rays = H_FULL * W * fps
+    print(json.dumps({
+        "event": "trained_projection_8chip",
+        "fps_540px": round(fps, 2),
+        "rays_per_sec": round(rays),
+        "vs_target_30fps": round(rays / TARGET, 4),
+        "scaling_efficiency": round(t_full / (N_CHIP * t_band), 3),
+        "note": "trained 540px capsule avatar (quality_bench state); "
+                "552-row padding + replicated bake + band prepass "
+                "charged; measured on one real chip running the exact "
+                "per-band program",
+    }), flush=True)
+
+
 def main() -> None:
+    if "--trained" in sys.argv:
+        i = sys.argv.index("--trained")
+        state_path = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                      else "/tmp/measure_r5/trained_540.pkl")
+        run_trained(state_path, "/tmp/quality_scene")
+        return
     avatar, state, grid, transl, near, far = build()
 
     # 1. full-frame single-chip reference (the bench.py number, at the
