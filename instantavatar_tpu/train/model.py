@@ -49,6 +49,13 @@ WORLD_AABB = ((-1.25, -1.55, -1.25), (1.25, 0.95, 1.25))
 # rediscovery costs a full failed compile) in the user cache, loaded
 # lazily, best-effort on IO errors.
 _BAD_FUSED_SIZES: set[tuple] = set()
+
+# models that have dispatched at least one jitted method — later config
+# mutation warns (pjit's static-arg identity fast path keeps the stale
+# program; see AvatarModel docstring)
+import weakref  # noqa: E402
+
+_LOCKED_MODELS: "weakref.WeakSet[AvatarModel]" = weakref.WeakSet()
 _BAD_SIZES_LOADED = False
 
 
@@ -139,7 +146,40 @@ class TrainState(NamedTuple):
 
 
 class AvatarModel:
-    """Static composition descriptor; all step methods are pure."""
+    """Static composition descriptor; all step methods are pure.
+
+    The model rides every jitted method as a STATIC argument, and jax's
+    pjit cache hits on static-arg IDENTITY before ever consulting
+    hash/eq — so `setattr(avatar, "term_T", ...)` after a method has
+    been traced silently reuses the program compiled with the OLD value
+    (measured r5: an alpha_skip/term_T ablation returned bit-identical
+    images across arms; config-aware __hash__/__eq__ did NOT help, the
+    identity fast path bypasses them). The only safe pattern is a fresh
+    model per configuration. To make the trap loud, the config locks at
+    the first host dispatch and later mutation of a primitive attribute
+    warns (host-only knobs listed in _HOST_ATTRS stay silent)."""
+
+    # attrs read only on the host side (never traced) — safe to mutate
+    _HOST_ATTRS = frozenset({"eval_grid"})
+
+    def _lock_config(self):
+        # membership set, not an instance attr: the model is a pure
+        # static descriptor and tests pin vars(model) invariant
+        _LOCKED_MODELS.add(self)
+
+    def __setattr__(self, name, value):
+        if (self in _LOCKED_MODELS
+                and name not in self._HOST_ATTRS
+                and isinstance(value, (int, float, str, bool, type(None)))
+                and getattr(self, name, object()) != value):
+            import warnings
+            warnings.warn(
+                f"mutating AvatarModel.{name} after jit dispatch: "
+                f"already-traced methods keep the program compiled with "
+                f"the OLD value (pjit's static-arg identity fast path) — "
+                f"build a fresh AvatarModel per configuration",
+                RuntimeWarning, stacklevel=2)
+        object.__setattr__(self, name, value)
 
     def __init__(self,
                  body_model: SMPLModel,
@@ -156,6 +196,7 @@ class AvatarModel:
                  is_refine: bool = False,
                  smpl_init: bool = False,
                  eval_grid: str = "density",
+                 shell_margin: float = 0.08,
                  use_warp_cache: bool = True,
                  train_warp_cache: bool = True,
                  cache_n_cand: int = 1,
@@ -165,7 +206,7 @@ class AvatarModel:
                  flat_tile_rows: bool = False,
                  n_windows: int = 48,
                  term_T: float | None = 1e-5,
-                 alpha_skip: float | None = 0.01,
+                 alpha_skip: float | None = None,
                  samples_per_ray: float = 3.0,
                  eval_n_steps: int | None = None,
                  cell_budget: int | None = None,
@@ -190,8 +231,13 @@ class AvatarModel:
         # sweep (reference test-grid semantics, density_grid.py:94-110);
         # "smpl_shell" = posed-vertex shell (reference smpl_init,
         # density_grid.py:53-75) — ~100x cheaper per NEW pose, the
-        # animation-path default candidate (gate: diag_trained_render)
+        # animation-path default candidate (gate: diag_trained_render).
+        # shell_margin: shell thickness in meters around the posed verts
+        # (must cover the learned surface's offset from the SMPL mesh; a
+        # 2 cm margin read 9 dB in-mask on the capsule scene whose
+        # radii reach ~8 cm, diag r5)
         self.eval_grid = eval_grid
+        self.shell_margin = shell_margin
         # eval acceleration: per-frame packed inverse-warp bake on occupied
         # cells (SNARF only; PERF.md). Exactness is restored per sample by
         # one cached-Newton step (J_inv rides in the cache row).
@@ -654,12 +700,14 @@ class AvatarModel:
 
     @functools.partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, batch, key):
+        self._lock_config()  # runs at trace time (host)
         return self._step_impl(state, batch, key, with_grid_update=False)
 
     @functools.partial(jax.jit, static_argnums=0)
     def train_step_update(self, state: TrainState, batch, key):
         """Train step + occupancy-grid update + occupancy regularizer
         (host calls this every ``grid_update_interval`` steps)."""
+        self._lock_config()  # runs at trace time (host)
         return self._step_impl(state, batch, key, with_grid_update=True)
 
     def step(self, state: TrainState, batch, key, step: int | None = None):
@@ -724,9 +772,9 @@ class AvatarModel:
     def build_pose_grid(self, state: TrainState, batch
                         ) -> DensityGridState:
         """Per-pose test grid from the POSED BODY SHELL instead of a
-        density sweep: cells within max(2 cm, half a cell diagonal) of a
-        posed vertex (the reference's smpl_init semantics,
-        density_grid.py:53-75). The density sweep runs the full SNARF
+        density sweep: cells within max(shell_margin, half a cell
+        diagonal) of a posed vertex (the reference's smpl_init
+        semantics, density_grid.py:53-75). The density sweep runs the full SNARF
         search over 5 x G^3 jittered points (~0.8 s/pose at the
         production config, the dominant cost of the pose-varying render
         path measured r5); this is one KNN against the ~1k toy / 6.9k
@@ -744,7 +792,7 @@ class AvatarModel:
         cells = (jnp.stack([zz, yy, xx], -1).reshape(-1, 3)
                  * (aabb[1] - aabb[0]) + aabb[0])
         d2, _ = knn_points(cells, dstate.verts_smpl, k=1, chunk=32768)
-        thr = jnp.maximum(0.02,
+        thr = jnp.maximum(self.shell_margin,
                           0.5 * jnp.linalg.norm((aabb[1] - aabb[0]) / G))
         occ = (d2[:, 0] < thr ** 2).reshape(G, G, G)
         return DensityGridState(
@@ -996,9 +1044,17 @@ class AvatarModel:
             occ = qv >= 0.0
             tau = jnp.maximum(qv, 0.0) * step  # (nr, S) opt. depth/stride
             if self.alpha_skip is not None:
-                # reference composite_test alpha < 0.01 skip at selection
-                # time: a stride whose baked-cell alpha is negligible
-                # cannot contribute — don't spend a field eval on it.
+                # selection-time analog of the reference composite_test
+                # alpha < 0.01 skip — default OFF (measured NEGATIVE r5):
+                # the baked CELL-CENTER sigma is a bad proxy for the
+                # per-sample alpha the reference tests (surface-edge
+                # cells read near-zero at the center while the surface
+                # crosses the cell), and culling on it cost 6.6 dB
+                # in-mask / 2.0 dB whole-frame on the trained 540px
+                # avatar for ZERO frame-time win (both arms 1.02 s on
+                # the pose-varying workload; the kept-sample count it
+                # cuts 3.4x was not the bottleneck). Knob retained for
+                # ablation only.
                 # (alpha = 1 - exp(-sigma*dt) < a  <=>  tau < -log(1-a))
                 occ = occ & (tau > -math.log1p(-self.alpha_skip))
             # Per-ray termination INDEX, not a per-sample mask product:
@@ -1451,6 +1507,7 @@ class AvatarModel:
         i+1 (render_frames)."""
         if session is None:
             session = RenderSession()  # per-call: priors only, no learning
+        self._lock_config()
         fkey, fkey_refs = self._frame_key(state, batch)
         if grid is None:
             if fkey is not None and session.last_grid is not None \

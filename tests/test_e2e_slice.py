@@ -444,6 +444,24 @@ def test_basis_only_batch_matches_full_rays(seq_dir, toy_model):
                              image_shape=(48, 48))
 
 
+def test_avatar_config_mutation_warns_after_dispatch(toy_model):
+    """r5: AvatarModel rides jits as a static arg and pjit's cache hits
+    on static-arg IDENTITY, so setattr after a trace silently reuses the
+    stale program (an alpha_skip ablation measured bit-identical arms).
+    The config locks at the first dispatch; later primitive mutation
+    must warn loudly. Host-only knobs (eval_grid) stay silent."""
+    import warnings
+    avatar = _make_avatar(toy_model)
+    avatar.term_T = 1e-4          # before any dispatch: silent
+    avatar._lock_config()         # what the first dispatch does
+    with pytest.warns(RuntimeWarning, match="fresh AvatarModel"):
+        avatar.term_T = 0.5
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        avatar.eval_grid = "smpl_shell"   # host-only: no warning
+        avatar.term_T = 0.5               # unchanged value: no warning
+
+
 def test_build_pose_grid_shell(seq_dir, toy_model):
     """build_pose_grid (r5): posed-vertex shell eval grid (reference
     smpl_init semantics, density_grid.py:53-75) — ~100x cheaper per new
