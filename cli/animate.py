@@ -97,17 +97,25 @@ def main() -> None:
     argv = list(sys.argv[1:])
     pose_path = repo_root() / "data/animation/aist_demo.npz"
     downscale = 2
+    eval_grid = "smpl_shell"
     rest = []
     for a in argv:
         if a.startswith("+pose_sequence=") or a.startswith("pose_sequence="):
             pose_path = Path(a.split("=", 1)[1])
         elif a.startswith("+render_downscale="):
             downscale = int(a.split("=", 1)[1])
+        elif a.startswith("+eval_grid="):
+            eval_grid = a.split("=", 1)[1]
         else:
             rest.append(a)
     cfg = parse_cli(rest, default_config="SNARF_NGP")
     run_dir = setup_run(cfg)
     trainer = build_trainer(cfg, workdir=run_dir)
+    # pose-varying workload: every frame pays a fresh test grid — the
+    # posed-vertex shell costs milliseconds vs the density sweep's
+    # ~0.8 s/pose, at -0.12 dB in-mask on the 540px gate
+    # (artifacts/r5_shell_gate.jsonl; opt out with +eval_grid=density)
+    trainer.avatar.eval_grid = eval_grid
     state = load_trained_state(trainer, run_dir)
     betas = np.asarray(trainer.dm.trainset.smpl_params["betas"])
     render_sequence(trainer, state,

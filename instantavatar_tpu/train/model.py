@@ -196,7 +196,7 @@ class AvatarModel:
                  is_refine: bool = False,
                  smpl_init: bool = False,
                  eval_grid: str = "density",
-                 shell_margin: float = 0.08,
+                 shell_margin: float = 0.12,
                  use_warp_cache: bool = True,
                  train_warp_cache: bool = True,
                  cache_n_cand: int = 1,
@@ -233,9 +233,12 @@ class AvatarModel:
         # density_grid.py:53-75) — ~100x cheaper per NEW pose, the
         # animation-path default candidate (gate: diag_trained_render).
         # shell_margin: shell thickness in meters around the posed verts
-        # (must cover the learned surface's offset from the SMPL mesh; a
-        # 2 cm margin read 9 dB in-mask on the capsule scene whose
-        # radii reach ~8 cm, diag r5)
+        # (must cover the learned surface's offset from the SMPL mesh).
+        # Gate sweep on the trained 540px capsule scene (r5,
+        # artifacts/r5_shell_gate.jsonl): 2 cm -> 9.2 dB in-mask
+        # (learned radii reach ~8 cm), 8 cm -> 26.42 (-0.66 vs density),
+        # 12 cm -> 26.96 (-0.12 dB) at 208 ms/frame pose-varying vs the
+        # density sweep's 968 ms — the 4.7x animate-path win.
         self.eval_grid = eval_grid
         self.shell_margin = shell_margin
         # eval acceleration: per-frame packed inverse-warp bake on occupied
