@@ -154,12 +154,16 @@ class DPFrameRenderer:
     a horizontal band of the image — the path the 30 FPS @540px target is
     costed on (BASELINE.md: 8.75M rays/s / 8 chips).
 
-    Bands are fully independent (the march has no cross-ray coupling), so
-    this is a shard_map with NO collectives: the per-chip bake is
+    Shards are fully independent (the march has no cross-ray coupling),
+    so this is a shard_map with NO collectives: the per-chip bake is
     replicated compute (same tables on every chip — wall-clock equal to
-    one chip's bake), and each band's pinhole ray basis is pre-shifted by
-    its first row (d = (b0 + y0*by) + x*bx + y_local*by) so the computed
-    per-pixel directions stay globally correct.
+    one chip's bake), and each chip's pinhole ray basis is pre-shifted so
+    the computed per-pixel directions stay globally correct. The default
+    ``layout="stride"`` deals p-row block-rows round-robin across chips
+    (5-row basis: [o, b0 + c*p*by, bx, by, n_ray*by]) so the shared SPMD
+    sample budget tracks the MEAN per-chip load; ``layout="band"`` keeps
+    contiguous horizontal bands (d = (b0 + y0*by) + x*bx + y_local*by),
+    whose budget is sized by the worst band over the body's center.
 
     Production semantics mirroring the single-device ``render_frame``
     (train/model.py):
@@ -190,11 +194,24 @@ class DPFrameRenderer:
         {"betas", "body_pose", "global_orient", "transl", "idx"})
 
     def __init__(self, avatar: AvatarModel, mesh: Mesh,
-                 chunk: int = 32768):
+                 chunk: int = 32768, layout: str = "stride"):
         import numpy as np
+        assert layout in ("stride", "band"), layout
         self.avatar = avatar
         self.mesh = mesh
         self.chunk = chunk
+        # "stride" (default): deal p-row BLOCK-rows round-robin across
+        # chips, so every chip sees a statistically uniform slice of the
+        # body instead of a contiguous band. Contiguous bands concentrate
+        # the subject's samples on the center chips while edge chips march
+        # background, and the shared SPMD budget is sized by the WORST
+        # band — measured 53.5 ms/band vs a 15.4 ms ideal on the trained
+        # 540px avatar (PERF.md r5). Blocks are independent in the flat
+        # path, so per-chip output is bit-identical to the same blocks
+        # rendered single-chip; only the assignment changes (5-row basis,
+        # see model.py stage 2/5'). "band" keeps the legacy contiguous
+        # split for A/B.
+        self.layout = layout
         self.n_ray = mesh.shape["ray"]
         self._np = np
         self._compiled: dict[tuple, Any] = {}
@@ -264,16 +281,42 @@ class DPFrameRenderer:
                 else (3, 2))
         p = next((q for q in cand if H_loc % q == 0 and W % q == 0), 1)
         prepass_shape = (H_loc, W, p)
-        fbatch = {k: jnp.asarray(v) if hasattr(v, "shape") else v
-                  for k, v in batch.items() if k not in ("rgb", "alpha")}
+        # block-row round-robin (layout="stride"): chip c takes block-rows
+        # {c, c+n_ray, ...}; falls back to contiguous bands when the
+        # block-row count does not divide the mesh
+        stride = self.layout == "stride" and (H // p) % n_ray == 0
+        perm = None
+        if stride:
+            Kb = H // p // n_ray
+            perm = (np.arange(n).reshape(Kb, n_ray, p * W)
+                    .transpose(1, 0, 2).reshape(-1))
+        fbatch = {}
+        for k, v in batch.items():
+            if k in ("rgb", "alpha"):
+                continue
+            if not hasattr(v, "shape"):
+                fbatch[k] = v
+                continue
+            if (perm is not None and k not in self.PER_FRAME
+                    and np.ndim(v) >= 1 and v.shape[0] == n):
+                v = np.asarray(v)[perm]
+            fbatch[k] = jnp.asarray(v)
         basis = fbatch.pop("ray_basis", None)
         if basis is not None:
             b = np.asarray(basis)
-            # per-band basis: fold each band's first GLOBAL row into b0
-            fbatch["ray_basis"] = jnp.asarray(np.stack(
-                [np.stack([b[0], b[1] + (c * H_loc) * b[3], b[2], b[3]])
-                 for c in range(n_ray)]))                # (n_ray, 4, 3)
-        return fbatch, n, n // n_ray, prepass_shape
+            if stride:
+                # per-chip 5-row basis [o, b0 + c*p*by, bx, by, n_ray*by]:
+                # the block-row step advances n_ray block-rows per local
+                # block-row, the within-block pixel step stays by
+                fbatch["ray_basis"] = jnp.asarray(np.stack(
+                    [np.stack([b[0], b[1] + (c * p) * b[3], b[2], b[3],
+                               n_ray * b[3]]) for c in range(n_ray)]))
+            else:
+                # per-band basis: fold each band's first GLOBAL row into b0
+                fbatch["ray_basis"] = jnp.asarray(np.stack(
+                    [np.stack([b[0], b[1] + (c * H_loc) * b[3], b[2], b[3]])
+                     for c in range(n_ray)]))            # (n_ray, 4, 3)
+        return fbatch, n, n // n_ray, prepass_shape, perm
 
     def _budgets(self, session, n_loc, prepass_shape):
         """Static budgets for the shared per-band program: session hints
@@ -362,7 +405,7 @@ class DPFrameRenderer:
             fkey = (fkey, id(grid)) if fkey is not None else None
             if fkey is not None:
                 fkey_refs = fkey_refs + (grid,)
-        fbatch, n, n_loc, prepass_shape = self._shape_frame(
+        fbatch, n, n_loc, prepass_shape, perm = self._shape_frame(
             batch, image_shape)
         budget, chunk_eff, cell_budget, samp_budget = self._budgets(
             session, n_loc, prepass_shape)
@@ -375,13 +418,23 @@ class DPFrameRenderer:
             session.last_bake = (fkey, bake_out, fkey_refs)
         return dict(buf=buf, state=state, fbatch=fbatch, grid=grid,
                     n=n, n_loc=n_loc, skey=skey, session=session,
-                    fkey=fkey, fkey_refs=fkey_refs, payload=payload)
+                    fkey=fkey, fkey_refs=fkey_refs, payload=payload,
+                    perm=perm)
 
-    def _unpack(self, buf, n):
+    def _unpack(self, buf, n, perm=None):
         """Per-band unpack: counters are per band; budget learning uses
         the max over bands (the static budget is shared by the SPMD
-        program)."""
+        program). ``perm`` (stride layout) maps chip-order position i to
+        global pixel index perm[i]; outputs scatter back to image order."""
         np = self._np
+
+        def _img(arr):
+            if perm is None:
+                return arr
+            img = np.empty_like(arr)
+            img[perm] = arr
+            return img
+
         buf = np.asarray(buf)
         if buf.dtype == np.uint8:
             rows8 = buf.reshape(self.n_ray, -1)
@@ -392,8 +445,8 @@ class DPFrameRenderer:
                          + extra[:, 5]).max())
             q = rows8[:, :-8].reshape(self.n_ray, -1, 4) \
                 .astype(np.float32) / 255.0
-            return ({"rgb": q[..., :3].reshape(n, 3),
-                     "alpha": q[..., 3].reshape(n),
+            return ({"rgb": _img(q[..., :3].reshape(n, 3)),
+                     "alpha": _img(q[..., 3].reshape(n)),
                      "depth": np.zeros(n, np.float32),
                      "counter": np.zeros(n, np.int32)}, n_hit, n_occ)
         rows = buf.astype(np.float32).reshape(self.n_ray, -1, 6)
@@ -402,10 +455,10 @@ class DPFrameRenderer:
                      + extra[:, 2]).max())
         n_occ = int((extra[:, 3] * 1024 ** 2 + extra[:, 4] * 1024
                      + extra[:, 5]).max())
-        out = {"rgb": rows[:, :-1, :3].reshape(n, 3),
-               "depth": rows[:, :-1, 3].reshape(n),
-               "alpha": rows[:, :-1, 4].reshape(n),
-               "counter": rows[:, :-1, 5].reshape(n).astype(np.int32)}
+        out = {"rgb": _img(rows[:, :-1, :3].reshape(n, 3)),
+               "depth": _img(rows[:, :-1, 3].reshape(n)),
+               "alpha": _img(rows[:, :-1, 4].reshape(n)),
+               "counter": _img(rows[:, :-1, 5].reshape(n)).astype(np.int32)}
         return out, n_hit, n_occ
 
     def finish_frame(self, rec) -> dict:
@@ -413,7 +466,8 @@ class DPFrameRenderer:
         transparently re-renders on band overflow — same convergence loop
         and exhaustion warning as the single-device _finish_frame."""
         avatar = self.avatar
-        out, n_hit, n_occ = self._unpack(rec["buf"], rec["n"])
+        out, n_hit, n_occ = self._unpack(rec["buf"], rec["n"],
+                                         rec.get("perm"))
         session, n_loc = rec["session"], rec["n_loc"]
         budget, chunk_eff, cell_budget, prepass_shape, samp_budget = \
             rec["skey"]
@@ -451,7 +505,8 @@ class DPFrameRenderer:
             if prev_bake is not None and rec.get("fkey") is not None:
                 session.last_bake = (rec["fkey"], bake_out,
                                      rec.get("fkey_refs"))
-            out, n_hit, n_occ = self._unpack(buf, rec["n"])
+            out, n_hit, n_occ = self._unpack(buf, rec["n"],
+                                             rec.get("perm"))
         if n_hit > samp_budget or n_occ > cell_budget:
             import warnings
             warnings.warn(
@@ -494,12 +549,13 @@ def dp_render_frame(avatar: AvatarModel, mesh: Mesh, state: TrainState,
                     batch: dict[str, Any], grid,
                     image_shape: tuple[int, int],
                     chunk: int = 32768,
-                    session=None) -> dict[str, Any]:
+                    session=None, layout: str = "stride") -> dict[str, Any]:
     """One-shot convenience wrapper over ``DPFrameRenderer`` (kept for the
     dryrun/tests; sequence workloads should hold a ``DPFrameRenderer`` so
     the compiled-program cache and session persist across frames)."""
-    return DPFrameRenderer(avatar, mesh, chunk=chunk).render_frame(
-        state, batch, grid=grid, image_shape=image_shape, session=session)
+    return DPFrameRenderer(avatar, mesh, chunk=chunk, layout=layout) \
+        .render_frame(state, batch, grid=grid, image_shape=image_shape,
+                      session=session)
 
 
 # -- subject parallelism ---------------------------------------------------

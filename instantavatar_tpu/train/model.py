@@ -981,11 +981,18 @@ class AvatarModel:
             Hs, Ws, p = prepass_shape
             Hb, Wb = Hs // p, Ws // p
             basis_w = rbatch["ray_basis"]
+            # 5-row basis [o, b0, bx, by_px, by_blk] decouples the BLOCK-
+            # row step from the within-block pixel-row step, so a ray-DP
+            # host can deal p-row block-rows round-robin across chips
+            # (by_blk = n_chip * by_px) for statistically uniform load —
+            # block semantics stay bit-identical to single-chip. A 4-row
+            # basis means by_blk == by_px (the contiguous-image default).
+            by_blk_w = basis_w[4] if basis_w.shape[0] == 5 else basis_w[3]
             xs = jnp.arange(Wb, dtype=jnp.float32) * p
             ys = jnp.arange(Hb, dtype=jnp.float32) * p
             d_un = (basis_w[1][None, None]
                     + xs[None, :, None] * basis_w[2][None, None]
-                    + ys[:, None, None] * basis_w[3][None, None])
+                    + ys[:, None, None] * by_blk_w[None, None])
             d_w = (d_un / jnp.linalg.norm(d_un, axis=-1, keepdims=True)) \
                 .reshape(-1, 3)
             nb_lat = Hb * Wb
@@ -1272,14 +1279,31 @@ class AvatarModel:
                                  far=jnp.ones((1,))))
                 o_s = rb.o[0]
                 b0_s, bx_s, by_s = rb.d[0], rb.d[1], rb.d[2]
-                if p > 1:
+                if basis.shape[0] == 5:
+                    # block-strided layout (see the prepass note): the
+                    # block-row term advances by by_blk, the within-block
+                    # pixel offset by by_px.
+                    by_blk_s = rb.d[3]
+                    if p > 1:
+                        pxs = bx[None] * p + qx[:, None]         # (pp, S)
+                        d_un = (b0_s + pxs[..., None] * bx_s
+                                + (by[None] * p)[..., None] * by_blk_s
+                                + qy[:, None, None] * by_s)      # (pp,S,3)
+                    else:
+                        pxs = (blk_id % Ws)[None]
+                        pys = (blk_id // Ws)[None]
+                        d_un = (b0_s + pxs[..., None] * bx_s
+                                + pys[..., None] * by_blk_s)
+                elif p > 1:
                     pxs = bx[None] * p + qx[:, None]             # (pp, S)
                     pys = by[None] * p + qy[:, None]
+                    d_un = (b0_s + pxs[..., None] * bx_s
+                            + pys[..., None] * by_s)             # (pp,S,3)
                 else:
                     pxs = (blk_id % Ws)[None]
                     pys = (blk_id // Ws)[None]
-                d_un = (b0_s + pxs[..., None] * bx_s
-                        + pys[..., None] * by_s)                 # (pp,S,3)
+                    d_un = (b0_s + pxs[..., None] * bx_s
+                            + pys[..., None] * by_s)             # (pp,S,3)
                 d_q = d_un / jnp.linalg.norm(d_un, axis=-1,
                                              keepdims=True)
                 pts_q = o_s + z_s[None, :, None] * d_q

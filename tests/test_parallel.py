@@ -224,6 +224,7 @@ def test_dp_fused_render_matches_single_chip(toy, tmp_path):
                                      image_shape=(48, 48))
 
     mesh = make_mesh(n_ray=8)
+    # default layout = "stride" (block-row round-robin, 5-row basis)
     out = dp_render_frame(avatar, mesh, state, b, grid, (48, 48),
                           chunk=1024)
     assert np.isfinite(out["rgb"]).all()
@@ -231,6 +232,11 @@ def test_dp_fused_render_matches_single_chip(toy, tmp_path):
                                np.asarray(img_single["rgb"]), atol=2e-3)
     np.testing.assert_allclose(out["alpha"],
                                np.asarray(img_single["alpha"]), atol=2e-3)
+    # legacy contiguous-band layout must agree too
+    out_b = dp_render_frame(avatar, mesh, state, b, grid, (48, 48),
+                            chunk=1024, layout="band")
+    np.testing.assert_allclose(out_b["rgb"],
+                               np.asarray(img_single["rgb"]), atol=2e-3)
 
 
 def test_dp_frame_renderer_production_loop(toy, tmp_path):

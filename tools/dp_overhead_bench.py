@@ -114,7 +114,39 @@ def band_batch(y0: int, h: int, transl, near, far):
     }
 
 
-def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
+def stride_chip_batch(b: dict, c: int, p: int = 3, n_chip: int = N_CHIP):
+    """Chip ``c``'s batch under the block-row round-robin layout
+    (DPFrameRenderer layout="stride"): 5-row basis
+    [o, b0 + c*p*by, bx, by, n_chip*by], scalar near/far, no ray
+    tensors — the exact per-chip view of the sharded program."""
+    basis = np.asarray(b["ray_basis"], np.float32)
+    b5 = np.stack([basis[0], basis[1] + (c * p) * basis[3], basis[2],
+                   basis[3], n_chip * basis[3]])
+    out = {k: v for k, v in b.items()
+           if k not in ("rays_o", "rays_d", "near", "far", "bg_color")}
+    out["ray_basis"] = b5
+    out["near"] = np.float32(np.min(b["near"]))
+    out["far"] = np.float32(np.max(b["far"]))
+    out["bg_color"] = np.ones(3, np.float32)
+    return out
+
+
+def shared_budget_session(avatar, state, grid, chip_batches, shape):
+    """One RenderSession warmed over EVERY chip's batch: the session's
+    high-water budget hints then equal the max-over-chips counts — the
+    shared static budget the real SPMD program compiles with."""
+    from instantavatar_tpu.train.model import RenderSession
+    session = RenderSession()
+    for cb in chip_batches:
+        for _ in avatar.render_frames(state, [cb], chunk=32768, grid=grid,
+                                      depth=1, image_shape=shape,
+                                      session=session, payload="u8"):
+            pass
+    return session
+
+
+def time_turntable(avatar, state, grid, batch, shape, n_frames=8,
+                   session=None):
     """Steady-state per-frame seconds over a turntable (bake reused per
     pose — bench.py protocol).
 
@@ -134,7 +166,7 @@ def time_turntable(avatar, state, grid, batch, shape, n_frames=8):
     hosts don't pay the tunnel at all; u8 (1/3 the bytes) is the
     protocol both numbers share."""
     from instantavatar_tpu.train.model import RenderSession
-    session = RenderSession()
+    session = session or RenderSession()
     frames = [{**batch, "global_orient":
                np.array([0.0, 2 * np.pi * i / n_frames, 0.0], np.float32)}
               for i in range(n_frames)]
@@ -194,7 +226,36 @@ def trained_band_batch(b: dict, y0: int, h: int):
     return out
 
 
-def run_trained(state_path: str, scene: str) -> None:
+def measure_stride(avatar, state, grid, b, t_full, tag: str) -> None:
+    """The block-row round-robin per-chip program (layout="stride"): warm
+    one session over all N_CHIP chip batches (shared budget = max over
+    chips), then time one chip — static shapes make every chip's
+    wall-clock identical."""
+    chips = [stride_chip_batch(b, c) for c in range(N_CHIP)]
+    shape = (H_BAND, W)
+    session = shared_budget_session(avatar, state, grid, chips, shape)
+    t_chip = time_turntable(avatar, state, grid, chips[N_CHIP // 2],
+                            shape, session=session)
+    print(json.dumps({"event": f"{tag}_per_chip_stride",
+                      "band_rows": H_BAND,
+                      "ms_per_frame": round(t_chip * 1e3, 1)}), flush=True)
+    fps = 1.0 / t_chip
+    rays = H_FULL * W * fps
+    print(json.dumps({
+        "event": f"{tag}_projection_8chip_stride",
+        "fps_540px": round(fps, 2),
+        "rays_per_sec": round(rays),
+        "vs_target_30fps": round(rays / TARGET, 4),
+        "scaling_efficiency": round(t_full / (N_CHIP * t_chip), 3),
+        "note": "block-row round-robin layout; shared budget warmed over "
+                "all 8 chip batches; 552-row padding + replicated bake + "
+                "per-chip prepass charged; measured on one real chip "
+                "running the exact per-chip program",
+    }), flush=True)
+
+
+def run_trained(state_path: str, scene: str,
+                skip_band: bool = False) -> None:
     avatar, state, grid, b = build_trained(state_path, scene)
     full = trained_band_batch(b, 0, H_FULL)
     t_full = time_turntable(avatar, state, grid, full, (H_FULL, W))
@@ -202,33 +263,39 @@ def run_trained(state_path: str, scene: str) -> None:
                       "ms_per_frame": round(t_full * 1e3, 1),
                       "rays_per_sec": round(H_FULL * W / t_full)}),
           flush=True)
-    y0 = (N_CHIP // 2 - 1) * H_BAND
-    band = trained_band_batch(b, y0, H_BAND)
-    t_band = time_turntable(avatar, state, grid, band, (H_BAND, W))
-    print(json.dumps({"event": "trained_per_chip_band",
-                      "band_rows": H_BAND,
-                      "ms_per_frame": round(t_band * 1e3, 1)}), flush=True)
-    fps = 1.0 / t_band
-    rays = H_FULL * W * fps
-    print(json.dumps({
-        "event": "trained_projection_8chip",
-        "fps_540px": round(fps, 2),
-        "rays_per_sec": round(rays),
-        "vs_target_30fps": round(rays / TARGET, 4),
-        "scaling_efficiency": round(t_full / (N_CHIP * t_band), 3),
-        "note": "trained 540px capsule avatar (quality_bench state); "
-                "552-row padding + replicated bake + band prepass "
-                "charged; measured on one real chip running the exact "
-                "per-band program",
-    }), flush=True)
+    if not skip_band:
+        y0 = (N_CHIP // 2 - 1) * H_BAND
+        band = trained_band_batch(b, y0, H_BAND)
+        t_band = time_turntable(avatar, state, grid, band, (H_BAND, W))
+        print(json.dumps({"event": "trained_per_chip_band",
+                          "band_rows": H_BAND,
+                          "ms_per_frame": round(t_band * 1e3, 1)}),
+              flush=True)
+        fps = 1.0 / t_band
+        rays = H_FULL * W * fps
+        print(json.dumps({
+            "event": "trained_projection_8chip",
+            "fps_540px": round(fps, 2),
+            "rays_per_sec": round(rays),
+            "vs_target_30fps": round(rays / TARGET, 4),
+            "scaling_efficiency": round(t_full / (N_CHIP * t_band), 3),
+            "note": "trained 540px capsule avatar (quality_bench state); "
+                    "552-row padding + replicated bake + band prepass "
+                    "charged; measured on one real chip running the exact "
+                    "per-band program",
+        }), flush=True)
+    measure_stride(avatar, state, grid, b, t_full, "trained")
 
 
 def main() -> None:
+    skip_band = "--skip-band" in sys.argv
+    if skip_band:
+        sys.argv.remove("--skip-band")
     if "--trained" in sys.argv:
         i = sys.argv.index("--trained")
         state_path = (sys.argv[i + 1] if len(sys.argv) > i + 1
                       else "/tmp/measure_r5/trained_540.pkl")
-        run_trained(state_path, "/tmp/quality_scene")
+        run_trained(state_path, "/tmp/quality_scene", skip_band=skip_band)
         return
     avatar, state, grid, transl, near, far = build()
 
@@ -252,29 +319,35 @@ def main() -> None:
                       "ms_per_frame": round(t_full * 1e3, 1),
                       "rays_per_sec": round(n / t_full)}), flush=True)
 
-    # 2. the per-chip band program: center band (drives the shared
-    #    budget), full replicated bake, band prepass
-    y0 = (N_CHIP // 2 - 1) * H_BAND          # rows 207..276 (body center)
-    band = band_batch(y0, H_BAND, transl, near, far)
-    t_band = time_turntable(avatar, state, grid, band, (H_BAND, W))
-    print(json.dumps({"event": "per_chip_band",
-                      "band_rows": H_BAND,
-                      "ms_per_frame": round(t_band * 1e3, 1)}), flush=True)
+    if not skip_band:
+        # 2. the per-chip band program: center band (drives the shared
+        #    budget), full replicated bake, band prepass
+        y0 = (N_CHIP // 2 - 1) * H_BAND      # rows 207..276 (body center)
+        band = band_batch(y0, H_BAND, transl, near, far)
+        t_band = time_turntable(avatar, state, grid, band, (H_BAND, W))
+        print(json.dumps({"event": "per_chip_band",
+                          "band_rows": H_BAND,
+                          "ms_per_frame": round(t_band * 1e3, 1)}),
+              flush=True)
 
-    # 3. the measured 8-chip projection: every chip runs the band program
-    #    in lockstep (static shapes), so frame time == band time
-    fps = 1.0 / t_band
-    rays = H_FULL * W * fps                   # delivered 540px rays
-    print(json.dumps({
-        "event": "projection_8chip",
-        "fps_540px": round(fps, 2),
-        "rays_per_sec": round(rays),
-        "vs_target_30fps": round(rays / TARGET, 4),
-        "scaling_efficiency": round(t_full / (N_CHIP * t_band), 3),
-        "note": "552-row padding + replicated bake + band prepass "
-                "charged; measured on one real chip running the exact "
-                "per-band program",
-    }), flush=True)
+        # 3. the measured 8-chip projection: every chip runs the band
+        #    program in lockstep (static shapes), frame time == band time
+        fps = 1.0 / t_band
+        rays = H_FULL * W * fps               # delivered 540px rays
+        print(json.dumps({
+            "event": "projection_8chip",
+            "fps_540px": round(fps, 2),
+            "rays_per_sec": round(rays),
+            "vs_target_30fps": round(rays / TARGET, 4),
+            "scaling_efficiency": round(t_full / (N_CHIP * t_band), 3),
+            "note": "552-row padding + replicated bake + band prepass "
+                    "charged; measured on one real chip running the exact "
+                    "per-band program",
+        }), flush=True)
+
+    # 4. the stride (block-row round-robin) per-chip program — the
+    #    production DPFrameRenderer default since r5
+    measure_stride(avatar, state, grid, full, t_full, "toy")
 
 
 if __name__ == "__main__":

@@ -136,6 +136,9 @@ def main() -> None:
     ap.add_argument("--load-state", type=str, default="",
                     help="skip training: unpickle a state from "
                     "--save-state and run only the eval-budget table")
+    ap.add_argument("--skip-table", action="store_true",
+                    help="stop after the training curve (+ --save-state); "
+                    "used to regenerate a trained state cheaply")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -224,6 +227,8 @@ def main() -> None:
             pickle.dump(host, f)
         print(json.dumps({"event": "state_saved",
                           "path": args.save_state}), flush=True)
+    if args.skip_table:
+        return
 
     # -- eval-budget table: PSNR + rays/s per render config ---------------
     table = []
