@@ -61,12 +61,21 @@ def main() -> None:
     assert n_dev >= 8, f"need 8 virtual devices, got {n_dev} (XLA_FLAGS)"
 
     body = toy_smpl_model()
-    # scaling_bench's config so the rows compose into one projection
+    # REDUCED compute config: the production-size step (res-128 SNARF,
+    # 128-step march) runs the 8 per-device programs SEQUENTIALLY on this
+    # one-core host and XLA:CPU's 40 s collective-rendezvous termination
+    # timer hard-aborts before the last device reaches the grad psum
+    # (rendezvous.cc:127, measured 2026-08-19). The HOST terms this tool
+    # exists to measure — batch pack, device_put fan-out, dispatch
+    # enqueue — depend on the batch schema (identical: 4096 rays, same
+    # leaves) and the pytree STRUCTURE, not on per-device FLOPs, so a
+    # small field keeps them representative while the CPU step fits the
+    # rendezvous window.
     avatar = AvatarModel(
-        body, VoxelTriplaneField(),
-        SNARFDeformer(body, resolution=128, cano_pose="a_pose",
-                      n_iters=6, cand_cap=2, n_init_active=4),
-        n_steps=128, k_cap=32, grid_size=64,
+        body, VoxelTriplaneField(voxel_res=32, plane_res=64),
+        SNARFDeformer(body, resolution=32, cano_pose="a_pose",
+                      n_iters=4, cand_cap=2, n_init_active=4),
+        n_steps=32, k_cap=8, grid_size=32,
         noise_steps=0, optimizer=optax.adam(5e-3))
     state = jax.jit(avatar.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
 
@@ -118,12 +127,24 @@ def main() -> None:
             jax.block_until_ready(sb)
         shard_ms = (time.perf_counter() - t0) / reps * 1e3
 
-        # dispatch: async enqueue cost of the compiled DP step
-        t0 = time.perf_counter()
+        # dispatch: async enqueue cost of the compiled DP step. Each
+        # dispatch is timed INDIVIDUALLY against an empty queue (block
+        # first): on the 1-core CPU backend a back-to-back loop fills the
+        # in-flight pipeline and the enqueue blocks on compute, reporting
+        # compute time as "dispatch" (first run read 59 ms). min = the
+        # clean enqueue; median guards against a lucky outlier.
+        times = []
+        out = None
         for i in range(reps):
+            if out is not None:
+                jax.block_until_ready(out[0].params)
+            t0 = time.perf_counter()
             out = step(state, sb, jax.random.PRNGKey(i))
-        dispatch_ms = (time.perf_counter() - t0) / reps * 1e3
+            times.append(time.perf_counter() - t0)
         jax.block_until_ready(out[0].params)
+        times_ms = sorted(t * 1e3 for t in times)
+        dispatch_ms = times_ms[0]
+        dispatch_med_ms = times_ms[len(times_ms) // 2]
 
         # full blocking step (CPU compute — context only)
         t0 = time.perf_counter()
@@ -150,6 +171,7 @@ def main() -> None:
         "pack_ms": round(pack_ms, 2),
         "shard_ms": round(shard_ms, 2),
         "dispatch_ms": round(dispatch_ms, 2),
+        "dispatch_median_ms": round(dispatch_med_ms, 2),
         "host_term_ms": round(pack_ms + shard_ms + dispatch_ms, 2),
         "step_wall_ms_cpu": round(wall_ms, 1),
         "overlapped_loop_ms_cpu": round(loop_ms, 1),
